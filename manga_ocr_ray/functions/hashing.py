@@ -1,0 +1,94 @@
+"""Deterministic vectorized hashing utilities.
+
+Used for: hash-bucket partitioning on ``conv_id`` (SURVEY.md §7.4), exact
+dedup keys, MinHash/SimHash features, and seeded per-row choices.  All hashes
+are pure functions of the value (no process salt) so results are identical
+across workers, runs and cluster sizes — required for resumability and the
+per-turn determinism invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash64_bytes_numpy(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """FNV-1a over variable-length byte slices, vectorized across rows.
+
+    ``data`` is the concatenated utf-8 buffer, ``offsets`` the (n+1) int64
+    row boundaries (exactly Arrow's string layout → zero-copy input).
+    Loops over the max row LENGTH (not row count): each step folds one byte
+    position of every row simultaneously.
+    """
+    n = len(offsets) - 1
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    if n == 0 or lengths.max(initial=0) == 0:
+        return h
+    starts = offsets[:-1].astype(np.int64)
+    max_len = int(lengths.max())
+    data_u64 = data.astype(np.uint64)
+    for pos in range(max_len):
+        active = lengths > pos
+        idx = starts[active] + pos
+        ha = h[active]
+        ha = (ha ^ data_u64[idx]) * _FNV_PRIME
+        h[active] = ha & _MASK
+    return h
+
+
+def hash64_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit hash of an Arrow string array (zero-copy buffer access)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.fill_null("")
+    # Arrow string array: buffers = [validity, offsets(int32/64), data]
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return hash64_bytes_numpy(data, offsets)
+
+
+def bucket_of(arr: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    """Stable hash bucket per row (int32) for partitioning."""
+    return (hash64_array(arr) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def content_hash64(texts: list[str] | pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit content hash for arbitrarily long strings (dedup keys).
+
+    blake2b(digest_size=8) per row — one C call per row, ~GB/s; use this for
+    document bodies.  ``bucket_of``/``hash64_array`` (numpy FNV, loop over max
+    row LENGTH) is only for short keys like ``conv_id``.
+    """
+    import hashlib
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.fill_null("").to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates derived seeds/band hashes."""
+    x = x.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & _MASK
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & _MASK
+    return x ^ (x >> np.uint64(31))

@@ -1,0 +1,239 @@
+"""Flagship pipeline: transcripts → extracted per-turn main content.
+
+Ray-Data-native re-expression of the reference's recognize-then-normalize
+loop (/root/reference/manga_ocr/run.py:110-214 + ocr.py:81-117):
+
+    read_parquet(transcripts)                       # S1/S2 analog
+      → map_batches(ExtractorActor, actor pool)     # A1 analog (the "model")
+      → bucket column = hash(conv_id) % B           # explicit partitioning
+      → write data/bucket=k/ + per-bucket manifest  # resumable, lineage
+    verification = key-based join vs golden table   # tests/test_ocr.py:21-41 analog
+
+Ordering: extraction is per-turn pure, so the hot path never shuffles.  The
+only order contract is within-conversation ``turn_idx`` order, enforced where
+it matters (``conversation_merge``, dump sinks) by within-group sort — never
+by block order (Ray blocks are unordered).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.hashing import bucket_of
+from ..schema import TRANSCRIPTS_SCHEMA, assert_schema_contains
+from ..stages.extractor import ExtractorActor
+from ..state import manifest as mf
+
+OUTPUT_COLUMNS = [
+    "conv_id", "turn_idx", "role", "tool", "ts",
+    "extracted_text", "raw_chars", "extracted_chars", "bucket",
+]
+
+
+def read_transcripts(path: str | list[str], columns: list[str] | None = None) -> rd.Dataset:
+    ds = rd.read_parquet(path, columns=columns)
+    assert_schema_contains(ds.schema().base_schema, TRANSCRIPTS_SCHEMA, "read_transcripts")
+    return ds
+
+
+def extract_turns(
+    ds: rd.Dataset,
+    *,
+    batch_size: int = 1024,
+    concurrency: int | tuple[int, int] | None = None,
+    num_buckets: int = 64,
+    skip_buckets: set[int] | None = None,
+) -> rd.Dataset:
+    """The extraction stage graph (lazy).  No shuffle.
+
+    ``skip_buckets`` prunes already-done partitions BEFORE the expensive
+    stage (resume path) with a vectorized mask — the anti-join of SURVEY §4.2.
+    """
+    if concurrency is None:
+        # leave headroom for the read/write stages so the pool doesn't
+        # serialize the pipeline (SURVEY §4.2 actor-pool sizing)
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = max(1, total - 2)
+    skip = np.array(sorted(skip_buckets or ()), dtype=np.int32)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch["conv_id"], num_buckets)
+        batch = batch.append_column("bucket", pa.array(b, pa.int32()))
+        if skip.size:
+            batch = batch.filter(pa.array(~np.isin(b, skip)))
+        return batch
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ExtractorActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return ds.select_columns(OUTPUT_COLUMNS)
+
+
+def run_extraction(
+    source: rd.Dataset,
+    out_dir: str,
+    *,
+    fingerprint: str,
+    num_buckets: int = 64,
+    batch_size: int = 1024,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict[str, Any]:
+    """Resume-aware end-to-end run: extract missing buckets, write partitioned
+    parquet, commit per-bucket manifests with lineage metrics."""
+    done = mf.done_buckets(out_dir, fingerprint)
+    t0 = time.perf_counter()
+    ds = extract_turns(
+        source,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_buckets=num_buckets,
+        skip_buckets=done,
+    )
+    ds.write_parquet(mf.data_dir(out_dir), partition_cols=["bucket"])
+
+    # per-bucket lineage metrics: tiny groupby over already-extracted rows
+    from ray.data.aggregate import Count, Sum
+
+    stats = (
+        rd.read_parquet(mf.data_dir(out_dir), columns=["bucket", "raw_chars", "extracted_chars"])
+        .groupby("bucket")
+        .aggregate(Count(alias_name="rows"),
+                   Sum("raw_chars", alias_name="raw_chars"),
+                   Sum("extracted_chars", alias_name="extracted_chars"))
+        .to_pandas()
+    )
+    elapsed = time.perf_counter() - t0
+    new_rows = 0
+    for rec in stats.to_dict("records"):
+        b = int(rec["bucket"])
+        if b in done:
+            continue
+        new_rows += int(rec["rows"])
+    turns_per_sec = new_rows / elapsed if elapsed > 0 else 0.0
+    for rec in stats.to_dict("records"):
+        b = int(rec["bucket"])
+        if b in done:
+            continue
+        raw = int(rec["raw_chars"])
+        ext = int(rec["extracted_chars"])
+        mf.write_manifest(
+            out_dir, b, fingerprint, int(rec["rows"]),
+            metrics={
+                "strip_ratio": round(1.0 - ext / raw, 6) if raw else 0.0,
+                "chars_removed": raw - ext,
+                "turns_per_sec_run": round(turns_per_sec, 2),
+            },
+        )
+    return {
+        "elapsed_sec": elapsed,
+        "new_rows": new_rows,
+        "skipped_buckets": len(done),
+        "turns_per_sec": turns_per_sec,
+    }
+
+
+# ---- verification (golden join) -------------------------------------------
+
+def verify_against_expected(extracted: rd.Dataset, expected: rd.Dataset) -> int:
+    """Distributed count of per-turn mismatches (0 == pass).
+
+    Key-based (conv_id, turn_idx) comparison — independent of block order, as
+    required under streaming execution.  Tags each side, unions, groups by
+    turn key: a turn passes iff both sides present and texts equal.
+    """
+    ex = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"]).map_batches(
+        lambda t: t.rename_columns(["conv_id", "turn_idx", "txt"]).append_column(
+            "side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    gold = expected.select_columns(["conv_id", "turn_idx", "expected_text"]).map_batches(
+        lambda t: t.rename_columns(["conv_id", "turn_idx", "txt"]).append_column(
+            "side", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        bad = not (
+            len(g) == 2
+            and set(g["side"]) == {0, 1}
+            and g["txt"].iloc[0] == g["txt"].iloc[1]
+        )
+        return pd.DataFrame({"mismatch": [1 if bad else 0]})
+
+    out = (
+        ex.union(gold)
+        .groupby(["conv_id", "turn_idx"])
+        .map_groups(check, batch_format="pandas")
+        .sum("mismatch")
+    )
+    return int(out or 0)
+
+
+# ---- ordered per-conversation merge (skew-safe) ----------------------------
+
+def conversation_merge(
+    extracted: rd.Dataset,
+    *,
+    text_col: str = "extracted_text",
+    chunk_size: int = 10_000,
+    sep: str = "\n",
+) -> rd.Dataset:
+    """Concatenate each conversation's turns in ``turn_idx`` order.
+
+    Two-stage groupby so one mega-conversation cannot overwhelm a single
+    group task (the salting pattern of SURVEY §7.4): stage 1 groups on the
+    SALTED key ``(conv_id, turn_idx // chunk_size)`` and merges each chunk in
+    turn order; stage 2 groups the (tiny) chunk rows on ``conv_id`` and
+    merges chunks in chunk order.  Result: (conv_id, merged_text, n_turns).
+    """
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        chunk = pa.array(
+            (t["turn_idx"].combine_chunks().to_numpy() // chunk_size).astype(np.int32)
+        )
+        return t.append_column("chunk", chunk)
+
+    def merge_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "chunk": [g["chunk"].iloc[0]],
+                "part": [sep.join(g[text_col].astype(str))],
+                "n": [len(g)],
+            }
+        )
+
+    def merge_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk")
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "merged_text": [sep.join(g["part"])],
+                "n_turns": [int(g["n"].sum())],
+            }
+        )
+
+    chunks = (
+        extracted.select_columns(["conv_id", "turn_idx", text_col])
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["conv_id", "chunk"])
+        .map_groups(merge_chunk, batch_format="pandas")
+    )
+    return chunks.groupby("conv_id").map_groups(merge_conv, batch_format="pandas")

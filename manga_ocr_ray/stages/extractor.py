@@ -1,0 +1,134 @@
+"""The extraction stage: deterministic span-extraction "model" on an actor pool.
+
+Replaces the reference's stateful ``MangaOcr`` recognizer
+(/root/reference/manga_ocr/ocr.py:40-117 — model load in ``__init__``,
+warm-up, then per-image recognize) with a deterministic, per-turn-pure
+extractor over Arrow batches:
+
+    ds.map_batches(ExtractorActor, batch_format="pyarrow",
+                   concurrency=(min, max), batch_size=B)
+
+``__init__`` compiles every pattern / builds the translation caches ONCE per
+actor (the "tokenizer cache" of the north star) and runs a warm-up batch,
+mirroring ocr.py:74-77.  ``__call__`` dispatches each batch by the ``tool``
+payload-kind column:
+
+    ""/"text"  -> passthrough
+    "html"     -> extract_main_html (DOM-block heuristics, boilerplate drop)
+    "pdf"      -> flatten_pdf_array (vectorized RE2 layout flatten)
+    "json"     -> tool-payload parse, pull the "content" field
+
+then applies the reference post_process normalization (vectorized) and emits
+``extracted_text`` plus per-row extraction metrics.  Everything is a pure
+function of the row → bit-deterministic across cluster sizes and block
+orders, as the per-turn-equality invariant requires.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.html import extract_main_html, strip_html_array
+from ..functions.normalize import normalize_texts
+from ..functions.pdf import flatten_pdf_array
+
+_WARMUP = pa.table(
+    {
+        "conv_id": ["warmup"],
+        "turn_idx": pa.array([0], pa.int32()),
+        "text": ["<html><body><p>ウォームアップ ok…</p></body></html>"],
+        "tool": ["html"],
+    }
+)
+
+
+def extract_json_content(payload: str) -> str:
+    """Pull the main-content field out of a tool-call JSON payload."""
+    try:
+        obj = json.loads(payload)
+    except (json.JSONDecodeError, TypeError):
+        return ""
+    if isinstance(obj, dict):
+        content = obj.get("content", "")
+        return content if isinstance(content, str) else json.dumps(content)
+    return ""
+
+
+class ExtractorActor:
+    """Callable class for ``map_batches`` actor pools.
+
+    Parameters mirror a model config: ``normalize`` toggles the post_process
+    pass (off when a later stage owns normalization), ``text_col`` /
+    ``tool_col`` name the payload columns.
+    """
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        tool_col: str = "tool",
+        out_col: str = "extracted_text",
+        normalize: bool = True,
+        emit_metrics: bool = True,
+    ):
+        self.text_col = text_col
+        self.tool_col = tool_col
+        self.out_col = out_col
+        self.normalize = normalize
+        self.emit_metrics = emit_metrics
+        # Warm-up: exercises every compiled-regex/translate cache path once
+        # per actor, like the reference's warm-up inference (ocr.py:74-77).
+        self._extract(_WARMUP["text"].combine_chunks(), _WARMUP["tool"].combine_chunks())
+
+    # -- core ---------------------------------------------------------------
+
+    def _extract(self, text: pa.ChunkedArray | pa.Array, tool: pa.ChunkedArray | pa.Array) -> list[str]:
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        n = len(text)
+        out: list[str | None] = [None] * n
+        tool_np = np.asarray(tool.fill_null("").to_numpy(zero_copy_only=False))
+
+        for kind in np.unique(tool_np):
+            idx = np.flatnonzero(tool_np == kind)
+            sub = text.take(pa.array(idx)).fill_null("")
+            if kind == "html":
+                vals = [extract_main_html(t) for t in sub.to_pylist()]
+            elif kind == "pdf":
+                vals = flatten_pdf_array(sub).to_pylist()
+            elif kind == "json":
+                vals = [extract_json_content(t) for t in sub.to_pylist()]
+            else:  # "", "text", unknown → passthrough
+                vals = sub.to_pylist()
+            for i, v in zip(idx, vals):
+                out[i] = v
+        return out  # type: ignore[return-value]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = self._extract(batch[self.text_col], batch[self.tool_col])
+        final = normalize_texts(raw) if self.normalize else raw
+        batch = batch.append_column(self.out_col, pa.array(final, pa.string()))
+        if self.emit_metrics:
+            raw_len = pa.array(
+                np.fromiter((len(t) for t in batch[self.text_col].fill_null("").to_pylist()),
+                            dtype=np.int64, count=len(final)))
+            out_len = pa.array(
+                np.fromiter((len(t) for t in final), dtype=np.int64, count=len(final)))
+            batch = batch.append_column("raw_chars", raw_len)
+            batch = batch.append_column("extracted_chars", out_len)
+        return batch
+
+
+def strip_only_batch(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "stripped_text") -> pa.Table:
+    """Stateless vectorized variant: plain tag strip (no boilerplate model).
+
+    SQL-mirrorable (functions.html.strip_html_sql) — used by the oracle
+    queries; the flagship pipeline uses ExtractorActor instead.
+    """
+    return batch.append_column(out_col, strip_html_array(batch[text_col].combine_chunks()))

@@ -1,0 +1,126 @@
+"""Golden end-to-end extraction tests (pattern of reference tests/test_ocr.py:21-41:
+exact equality against a generated expected fixture)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from manga_ocr_ray.corpus import make_tables
+from manga_ocr_ray.functions.pdf import flatten_pdf
+from manga_ocr_ray.stages.extractor import ExtractorActor, extract_json_content
+from manga_ocr_ray.functions.html import extract_main_html, strip_html_array
+
+
+def test_extractor_inverts_corpus_driver_side():
+    t, e = make_tables(60, seed=7)
+    out = ExtractorActor()(t)
+    assert out["extracted_text"].to_pylist() == e["expected_text"].to_pylist()
+
+
+def test_extractor_metrics_columns():
+    t, _ = make_tables(5, seed=1)
+    out = ExtractorActor()(t)
+    assert out["raw_chars"].to_pylist() == [len(x) for x in t["text"].to_pylist()]
+    assert all(c >= 0 for c in out["extracted_chars"].to_pylist())
+
+
+def test_html_boilerplate_dropped():
+    html = (
+        "<html><head><title>T</title><script>x</script></head><body>"
+        '<nav><a href="/">Home</a></nav><p>keep me</p>'
+        '<div><a href="/a">L1</a> <a href="/b">L2</a></div>'
+        "<footer>foot</footer></body></html>"
+    )
+    assert extract_main_html(html) == "keep me"
+
+
+def test_html_ruby_and_entities():
+    got = extract_main_html("<p><ruby>漢字<rt>かんじ</rt></ruby> &amp; x&lt;y</p>")
+    assert got.split() == ["漢字", "&", "x<y"]
+
+
+def test_strip_html_array_keeps_all_text():
+    arr = pa.array(["<nav>Home</nav><p>body</p>"])
+    assert strip_html_array(arr).to_pylist()[0].split() == ["Home", "body"]
+
+
+def test_pdf_flatten():
+    doc = "Page 1 of 2\nhello wor-\nld line\n1\fPage 2 of 2\nmore text\n2"
+    assert flatten_pdf(doc).split() == ["hello", "world", "line", "more", "text"]
+
+
+def test_json_content():
+    assert extract_json_content('{"content": "hi", "x": 1}') == "hi"
+    assert extract_json_content("not json") == ""
+    assert extract_json_content('["a"]') == ""
+
+
+def test_extraction_pipeline_ray(ray_session, tmp_path):
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.extract import (
+        extract_turns, run_extraction, verify_against_expected, conversation_merge,
+    )
+    from manga_ocr_ray.state import manifest as mf
+
+    t, e = make_tables(40, seed=42, mega_every=37, mega_turns=60)
+    src = tmp_path / "transcripts.parquet"
+    pq.write_table(t, src)
+    from manga_ocr_ray.pipelines.extract import read_transcripts
+
+    ds = read_transcripts(str(src))
+    out_dir = str(tmp_path / "out")
+    res = run_extraction(ds, out_dir, fingerprint="fp1", num_buckets=8, batch_size=256)
+    assert res["new_rows"] == t.num_rows
+    assert res["skipped_buckets"] == 0
+
+    extracted = rd.read_parquet(mf.data_dir(out_dir))
+    assert extracted.count() == t.num_rows
+
+    # golden per-turn equality, key-based
+    gold = rd.from_arrow(e)
+    assert verify_against_expected(extracted, gold) == 0
+
+    # manifests: every bucket covered, metrics present
+    ms = mf.read_manifests(out_dir)
+    assert sum(m["rows"] for m in ms) == t.num_rows
+    assert all(0 <= m["metrics"]["strip_ratio"] <= 1 for m in ms)
+
+    # resume: a second run skips everything
+    res2 = run_extraction(read_transcripts(str(src)), out_dir, fingerprint="fp1", num_buckets=8)
+    assert res2["new_rows"] == 0
+    assert res2["skipped_buckets"] == len(ms)
+
+    # fingerprint change invalidates
+    assert mf.done_buckets(out_dir, "fp2") == set()
+
+    # ordered merge (salted two-stage) matches a pandas reference
+    merged = conversation_merge(extracted, chunk_size=16).to_pandas()
+    exp_df = e.to_pandas().sort_values(["conv_id", "turn_idx"])
+    ref = exp_df.groupby("conv_id")["expected_text"].apply("\n".join)
+    got = merged.set_index("conv_id")["merged_text"]
+    assert got.sort_index().equals(ref.sort_index())
+    mega = merged.set_index("conv_id")["n_turns"]["conv_00000000"]
+    assert mega == 60  # mega-conv crossed chunk boundaries and survived
+
+
+def test_verify_detects_mismatch(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.extract import verify_against_expected
+
+    ex = rd.from_items(
+        [
+            {"conv_id": "c", "turn_idx": 0, "extracted_text": "a"},
+            {"conv_id": "c", "turn_idx": 1, "extracted_text": "b"},
+        ]
+    )
+    gold = rd.from_items(
+        [
+            {"conv_id": "c", "turn_idx": 0, "expected_text": "a"},
+            {"conv_id": "c", "turn_idx": 1, "expected_text": "DIFFERENT"},
+            {"conv_id": "c", "turn_idx": 2, "expected_text": "missing"},
+        ]
+    )
+    assert verify_against_expected(ex, gold) == 2
