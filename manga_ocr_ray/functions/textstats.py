@@ -1,0 +1,141 @@
+"""Text-analysis kernels: token counting, quality scoring, language ID,
+document fingerprinting.
+
+The large-scale-training-pipeline operators layered over the reference's
+char-class utilities (manga_ocr_dev/synthetic_data_generator/common/
+utils.py:60-151 — kanji/hiragana/katakana/ascii predicates), re-expressed as
+vectorized kernels over Arrow string arrays.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import content_hash64, mix64
+
+TOKEN_PATTERN = r"[A-Za-z0-9]+"
+PUNCT_PATTERN = r"[.,!?;:]"
+STOPWORDS_EN = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+_STOPWORD_PATTERN = r"(?i)\b(?:" + "|".join(STOPWORDS_EN) + r")\b"
+
+
+def token_count_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Whitespace-ish token count = matches of TOKEN_PATTERN (RE2 kernel)."""
+    return pc.count_substring_regex(arr, pattern=TOKEN_PATTERN)
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document quality stats, all RE2/Arrow kernels (no Python rows):
+
+    n_chars, n_tokens, n_punct, n_stopwords, stopword_ratio, punct_ratio.
+    SQL-mirrorable: length() + len(regexp_extract_all()) in DuckDB.
+    """
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(text, pattern=TOKEN_PATTERN)
+    n_punct = pc.count_substring_regex(text, pattern=PUNCT_PATTERN)
+    n_stop = pc.count_substring_regex(text, pattern=_STOPWORD_PATTERN)
+    denom_t = pc.max_element_wise(n_tokens, pa.scalar(1, n_tokens.type))
+    denom_c = pc.max_element_wise(n_chars, pa.scalar(1, n_chars.type))
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    out = out.append_column("n_chars", pc.cast(n_chars, pa.int64()))
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("n_punct", pc.cast(n_punct, pa.int64()))
+    out = out.append_column("n_stopwords", pc.cast(n_stop, pa.int64()))
+    out = out.append_column(
+        "stopword_ratio", pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(denom_t, pa.float64()))
+    )
+    out = out.append_column(
+        "punct_ratio", pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(denom_c, pa.float64()))
+    )
+    return out
+
+
+# ---- language ID (n-gram / stopword heuristic) ----------------------------
+
+# Tiny per-language stopword seed lists (public common function words).
+_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es": ("el", "la", "los", "las", "es", "una", "por", "para", "con", "del"),
+}
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def lang_id(text: str) -> str:
+    """Deterministic heuristic language ID.
+
+    Codepoint-range vote for CJK scripts (kana → ja, hangul → ko, han → zh),
+    else best stopword-overlap among latin languages, else 'und'.
+    """
+    kana = han = hangul = 0
+    for ch in text:
+        cp = ord(ch)
+        if 0x3040 <= cp <= 0x30FF or 0xFF66 <= cp <= 0xFF9F:
+            kana += 1
+        elif 0x4E00 <= cp <= 0x9FFF:
+            han += 1
+        elif 0xAC00 <= cp <= 0xD7A3:
+            hangul += 1
+    n = max(1, len(text))
+    if kana / n > 0.05:
+        return "ja"
+    if hangul / n > 0.05:
+        return "ko"
+    if han / n > 0.05:
+        return "zh"
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return "und"
+    best, best_score = "und", 0
+    for lang, stops in _LANG_STOPWORDS.items():
+        score = sum(1 for w in words if w in stops)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0 else "en" if all(w.isascii() for w in words) else "und"
+
+
+class LangIdStage:
+    """Actor-pool stage: stopword sets/regexes built once per actor."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.sets = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [lang_id(t or "") for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(self.out_col, pa.array(preds, pa.string()))
+
+
+# ---- document fingerprint (rolling-hash shingle sketch) -------------------
+
+def fingerprint_batch(texts: list[str], num_hashes: int = 4, shingle: int = 8) -> np.ndarray:
+    """Winnowing-style doc fingerprint: min-k of rolling byte-shingle hashes,
+    XOR-folded into one uint64 per document.  Pure function of content."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(data) < shingle:
+            out[i] = mix64(content_hash64([t]))[0]
+            continue
+        # vectorized rolling hash: polynomial over a sliding window
+        n = len(data) - shingle + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for off in range(shingle):
+            acc = acc * np.uint64(1099511628211) + data[off : off + n].astype(np.uint64)
+        hashes = mix64(acc)
+        k = min(num_hashes, len(hashes))
+        mins = np.partition(hashes, k - 1)[:k]
+        out[i] = np.bitwise_xor.reduce(mins)
+    return out
+
+
+def fingerprint_map_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = fingerprint_batch(batch[text_col].fill_null("").to_pylist())
+    return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))

@@ -1,0 +1,157 @@
+"""Document-table pipelines: the extraction/normalization kernels and the
+training-data operators (dedup, text analysis, similarity) exposed as
+oracle-checkable queries over the driver's ``documents``/``embeddings``
+tables.
+
+For the extraction kernels the query WRAPS each document in deterministic
+HTML/PDF noise first (same concat on the SQL side), so the strip/flatten
+kernels are genuinely exercised — not identity on plain text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions.h2z import DAKUTEN_PAIRS, H2Z_FROM, H2Z_TO
+from ..functions.html import strip_html_array, strip_html_sql
+from ..functions.normalize import WHITESPACE_CODEPOINTS, normalize_batch
+from ..functions.pdf import flatten_pdf_array, flatten_pdf_sql
+from ..functions.textstats import fingerprint_map_batch, quality_batch
+from ..stages.dedup import exact_dedup_groups
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---- normalize (the [core] post_process kernel, M1) ------------------------
+
+def q_doc_normalize(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: normalize_batch(t, "text").select(["doc_id", "normalized_text"]),
+        batch_format="pyarrow",
+    )
+
+
+def normalize_sql(expr: str) -> str:
+    """DuckDB expression replicating post_process exactly (see normalize.py).
+
+    whitespace squash uses the exact Python str.isspace() codepoint set;
+    h2z is the dakuten replace chain + one translate() with the full tables.
+    """
+    ws = "".join(
+        f"\\x{{{cp:04x}}}" if cp not in (0x5D, 0x5C, 0x5E) else f"\\x{{{cp:04x}}}"
+        for cp in WHITESPACE_CODEPOINTS
+    )
+    out = f"regexp_replace({expr}, '[{ws}]+', '', 'g')"
+    out = f"regexp_replace({out}, '[・.]{{2,}}', '...', 'g')"
+    out = f"replace({out}, '…', '...')"
+    for half, full in DAKUTEN_PAIRS:
+        out = f"replace({out}, '{half}', '{full}')"
+    frm = H2Z_FROM.replace("'", "''")
+    to = H2Z_TO.replace("'", "''")
+    return f"translate({out}, '{frm}', '{to}')"
+
+
+Q_DOC_NORMALIZE_SQL = (
+    f"SELECT doc_id, {normalize_sql('text')} AS normalized_text FROM documents"
+)
+
+
+# ---- HTML strip over deterministically wrapped docs ------------------------
+
+_HTML_PRE = (
+    "<html><head><title>T</title><style>p { color: red; }</style>"
+    "<script>var x = 1;</script></head><body><!-- note --><p>"
+)
+_HTML_POST = "</p><div>tail &amp; end</div></body></html>"
+
+
+def q_doc_strip_html(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def wrap_strip(t: pa.Table) -> pa.Table:
+        wrapped = pc.binary_join_element_wise(
+            pa.scalar(_HTML_PRE), t["text"].combine_chunks(), pa.scalar(_HTML_POST), ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "stripped_text": strip_html_array(wrapped)})
+
+    return ds.map_batches(wrap_strip, batch_format="pyarrow")
+
+
+def q_doc_strip_html_sql() -> str:
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    inner = f"'{pre}' || text || '{post}'"
+    return f"SELECT doc_id, {strip_html_sql(inner)} AS stripped_text FROM documents"
+
+
+# ---- PDF flatten over deterministically paged docs -------------------------
+
+def q_doc_flatten_pdf(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def wrap_flatten(t: pa.Table) -> pa.Table:
+        wrapped = pc.binary_join_element_wise(
+            pa.scalar("Page 1 of 2\n"), t["text"].combine_chunks(),
+            pa.scalar("\n1\fPage 2 of 2\nsecond pa-\nge text\n2"), "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "flat_text": flatten_pdf_array(wrapped)})
+
+    return ds.map_batches(wrap_flatten, batch_format="pyarrow")
+
+
+def q_doc_flatten_pdf_sql() -> str:
+    inner = (
+        "'Page 1 of 2' || chr(10) || text || chr(10) || '1' || chr(12) || "
+        "'Page 2 of 2' || chr(10) || 'second pa-' || chr(10) || 'ge text' || chr(10) || '2'"
+    )
+    return f"SELECT doc_id, {flatten_pdf_sql(inner)} AS flat_text FROM documents"
+
+
+# ---- text analysis ---------------------------------------------------------
+
+def q_doc_quality(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(lambda t: quality_batch(t, "text"), batch_format="pyarrow")
+
+
+Q_DOC_QUALITY_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b')) AS n_stopwords,
+       len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b'))
+         * 1.0 / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS stopword_ratio,
+       len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1) AS punct_ratio
+FROM documents
+"""
+
+
+# ---- dedup -----------------------------------------------------------------
+
+def q_doc_exact_dedup(sf_dir: str) -> rd.Dataset:
+    return exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
+
+
+Q_DOC_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Rolling-hash winnowing fingerprints (rows-only check: not SQL-expressible)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: fingerprint_map_batch(t, "text").select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )

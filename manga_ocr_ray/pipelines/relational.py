@@ -1,0 +1,350 @@
+"""Relational operators over the driver's TPC-H-ish tables.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / pandas result
+whose columns match the DuckDB oracle SQL in ``__ray_entry__.oracle_sql()``
+exactly.  These cover the reference's implicit relational surface
+(SURVEY.md §2: filters/projections M4-M10, groupby G1-G3, sorts/limits
+O1-O6, union U1, lookups J1/J2, dedup D1-D3) re-expressed Ray-Data-first:
+
+- reads prune columns at the parquet scan,
+- per-batch predicates/projections are pyarrow.compute kernels,
+- small join sides are broadcast via ``ray.put`` (no shuffle),
+- aggregations use Ray's map-side-combining ``groupby().aggregate``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# ---- G3/G1 analog: grouped aggregation with computed measures (TPC-H Q1) ---
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def measures(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(measures, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                     AS sum_qty,
+       sum(l_extendedprice)                AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       avg(l_quantity)                     AS avg_qty,
+       avg(l_extendedprice)                AS avg_price,
+       avg(l_discount)                     AS avg_disc,
+       count(*)                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---- M4/M5: vectorized filter + projection --------------------------------
+
+def q_filter_project(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def fp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], pa.scalar(45.0)))
+        revenue = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": revenue,
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+Q_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+# ---- J1/J2: broadcast lookup joins ----------------------------------------
+
+class BroadcastJoiner:
+    """Map-side hash join against a broadcast small table (``ray.put`` once,
+    ``ray.get`` once per actor in ``__init__`` — never per batch)."""
+
+    def __init__(self, small_ref, on: str, how: str = "inner"):
+        self.small = ray.get(small_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+def q_region_customer_count(sf_dir: str) -> rd.Dataset:
+    """customer ⋈ nation ⋈ region (both dimension sides broadcast), count +
+    total account balance per region name."""
+    nation = pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+    ref = ray.put(dim)
+
+    ds = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = ds.map_batches(
+        BroadcastJoiner, fn_constructor_args=(ref, "c_nationkey"),
+        batch_format="pandas", concurrency=2,
+    )
+    return joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal")
+    )
+
+
+Q_REGION_CUSTOMER_COUNT_SQL = """
+SELECT r_name, count(*) AS n_customers, sum(c_acctbal) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """orders grouped to per-customer revenue, customer names broadcast-joined
+    in, top 10 by revenue (G + J + O in one pipeline)."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"]).rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    ref = ray.put(cust)
+    joined = per_cust.map_batches(
+        BroadcastJoiner, fn_constructor_args=(ref, "o_custkey"),
+        batch_format="pandas", concurrency=2,
+    )
+    top = joined.sort("revenue", descending=True).limit(10).to_pandas()
+    return top.rename(columns={"o_custkey": "c_custkey"})[
+        ["c_custkey", "c_name", "revenue", "n_orders"]
+    ]
+
+
+Q_TOP_CUSTOMERS_SQL = """
+SELECT o_custkey AS c_custkey, c_name,
+       sum(o_totalprice) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue DESC LIMIT 10
+"""
+
+
+# ---- O1/O6: sort + limit ---------------------------------------------------
+
+def q_top_orders(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort("o_totalprice", descending=True).limit(5)
+
+
+Q_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC LIMIT 5
+"""
+
+
+# ---- U1 + D: union + distinct ---------------------------------------------
+
+def q_union_nations(sf_dir: str) -> rd.Dataset:
+    c = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    s = rd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    return c.union(s).groupby("nationkey").aggregate(Count(alias_name="n_rows"))
+
+
+Q_UNION_NATIONS_SQL = """
+SELECT nationkey, count(*) AS n_rows FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
+# ---- streaming-shaped: tumbling window + JSON props ------------------------
+
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", hour)
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, sum(value) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_props(sf_dir: str) -> rd.Dataset:
+    """JSON tool-payload parse (S3/M12 analog) + grouped aggregate."""
+    import json
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                ks.append(int(json.loads(p).get("k")))
+            except (TypeError, ValueError, json.JSONDecodeError):
+                ks.append(None)
+        return pa.table({"event_type": t["event_type"], "k": pa.array(ks, pa.int64())})
+
+    return (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Mean("k", alias_name="avg_k"), Max("k", alias_name="max_k"),
+                   Min("k", alias_name="min_k"))
+    )
+
+
+Q_EVENTS_PROPS_SQL = """
+SELECT event_type, avg(CAST(props->>'k' AS BIGINT)) AS avg_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+       min(CAST(props->>'k' AS BIGINT)) AS min_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---- sessionization (gap-based windows over an ordered log) ----------------
+
+def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes``.  groupby(user).map_groups over
+    ts-sorted groups — the documented Ray Data pattern for stream-shaped
+    semantics (ordering contract stated: within-user ts order)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_sess = (g["ts"].diff() > gap).cumsum()
+        n_sessions = int(new_sess.iloc[-1]) + 1 if len(g) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
+             "n_events": [len(g)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+Q_EVENTS_SESSIONS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
+# ---- G1-style per-group top-k ---------------------------------------------
+
+def q_top_parts_per_brand(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["p_retailprice", "p_partkey"],
+                             ascending=[False, True]).head(3)
+
+    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+
+
+Q_TOP_PARTS_PER_BRAND_SQL = """
+SELECT p_partkey, p_brand, p_retailprice FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+"""
+
+
+# ---- M9: deterministic hash split -----------------------------------------
+
+def q_doc_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic 90/10 split by md5 of the text — the seeded-hash
+    replacement for the reference's random split
+    (process_manga109s.py:149-151), reproducible on both engines."""
+    import hashlib
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        labels = [
+            "test" if int(hashlib.md5(x.encode()).hexdigest()[:2], 16) < 26 else "train"
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "split": pa.array(labels)})
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+Q_DOC_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 26
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""

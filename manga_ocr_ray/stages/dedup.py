@@ -1,0 +1,317 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (SURVEY §2.7 D1/D2 hardened for 10^12 rows):
+
+- exact: content-hash column added in a vectorized ``map_batches``, then ONE
+  ``groupby(hash)`` shuffle keyed on the 64-bit hash (never on the text).
+- MinHash/LSH: signatures computed batch-local (numpy broadcasting), exploded
+  to ``(band, band_key, doc_id)`` rows, bucketed by ONE groupby; candidate
+  pairs verified by true Jaccard.  Only bucket rows shuffle — O(bands·n)
+  small ints, not the corpus.
+- SimHash: 64-bit signatures; near-dup candidates via 4×16-bit block keys
+  (pigeonhole: hamming ≤3 ⇒ at least one of 4 blocks equal), verified by
+  hamming distance.
+
+At test scale the pair-verification step looks texts up in a broadcast
+dict (``ray.put`` once); at 10^12 rows the same pipeline swaps the lookup
+for a hash-partitioned join on doc_id — the bucketing stages are unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions.hashing import content_hash64, mix64
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+# ---- exact dedup -----------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "content_hash") -> pa.Table:
+    h = content_hash64(batch[text_col]).astype(np.int64)
+    return batch.append_column(out_col, pa.array(h))
+
+
+def exact_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text") -> rd.Dataset:
+    """(keep_doc_id, n_copies) per distinct content — hash-keyed groupby."""
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
+    ).select_columns([id_col, "content_hash"])
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keep_doc_id"), Count(alias_name="n_copies"))
+        .select_columns(["keep_doc_id", "n_copies"])
+    )
+
+
+def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> rd.Dataset:
+    """Keep the min-id row of each distinct content (deterministic winner)."""
+    hashed = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---- shingles + MinHash ----------------------------------------------------
+
+def _word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """64-bit hashes of word n-gram shingles (distinct)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        joined = [" ".join(toks)] if toks else []
+    else:
+        joined = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not joined:
+        return np.zeros(1, dtype=np.uint64)
+    return np.unique(content_hash64(joined))
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_signature(shingle_hashes: np.ndarray, num_hashes: int,
+                      a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """k-permutation MinHash over a shingle-hash set (one numpy broadcast)."""
+    x = shingle_hashes.astype(np.uint64)
+    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0xD1CE]))
+    a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+class MinHashStage:
+    """Actor-pool stage: permutation params built once per actor; per batch
+    emits (id, band_0..band_{B-1} fold keys) — the LSH bucketing columns."""
+
+    def __init__(self, num_hashes: int = 128, bands: int = 16, ngram: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text", seed: int = 42):
+        assert num_hashes % bands == 0
+        self.num_hashes, self.bands, self.ngram = num_hashes, bands, ngram
+        self.rows = num_hashes // bands
+        self.id_col, self.text_col = id_col, text_col
+        self.a, self.b = _perm_params(num_hashes, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(_word_ngram_hashes(text, self.ngram),
+                                 self.num_hashes, self.a, self.b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].fill_null("").to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros(
+            (0, self.num_hashes), dtype=np.uint64)
+        # fold each band's r rows into one key
+        band_keys = np.zeros((len(texts), self.bands), dtype=np.uint64)
+        for bi in range(self.bands):
+            seg = sigs[:, bi * self.rows : (bi + 1) * self.rows]
+            acc = np.full(len(texts), np.uint64(bi + 1), dtype=np.uint64)
+            for c in range(seg.shape[1]):
+                acc = mix64(acc ^ seg[:, c])
+            band_keys[:, bi] = acc
+        cols = {self.id_col: batch[self.id_col]}
+        for bi in range(self.bands):
+            cols[f"band_{bi}"] = pa.array(band_keys[:, bi].astype(np.int64))
+        return pa.table(cols)
+
+
+def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 16,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    shingle→minhash→band (actor pool) → per-band groupby buckets → candidate
+    pairs → exact-Jaccard verification.  Verification texts come from a
+    broadcast id→text dict at this scale (see module docstring for the
+    join-based swap at 10^12 rows).
+    """
+    texts_pdf = ds.select_columns([id_col, text_col]).to_pandas()
+    text_ref = ray.put(dict(zip(texts_pdf[id_col], texts_pdf[text_col])))
+
+    banded = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
+                                   ngram=ngram, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    # explode to (band, key, id) rows — only these small rows shuffle
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = np.repeat(t[id_col].to_numpy(), bands)
+        band = np.tile(np.arange(bands, dtype=np.int32), n)
+        keys = np.stack([t[f"band_{bi}"].to_numpy() for bi in range(bands)], axis=1).ravel()
+        return pa.table({"band": pa.array(band), "key": pa.array(keys), id_col: pa.array(ids)})
+
+    buckets = banded.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2 or len(ids) > 200:  # skip degenerate mega-buckets
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = (
+        buckets.groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    texts = ray.get(text_ref)
+    sh = {i: _word_ngram_hashes(texts[i], ngram) for i in
+          np.unique(cand[["id_a", "id_b"]].to_numpy())}
+    jac = np.array([_jaccard(sh[a], sh[b]) for a, b in
+                    zip(cand["id_a"], cand["id_b"])])
+    out = cand.assign(jaccard=jac)
+    out = out[out["jaccard"] >= threshold].sort_values(["id_a", "id_b"])
+    return out.reset_index(drop=True)
+
+
+def cluster_reps(pairs: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
+    """Union-find over verified pairs → (doc_id, cluster_rep = min id).
+
+    Driver-side: the verified pair set is tiny relative to the corpus.  At
+    extreme scale this becomes a few rounds of min-label propagation via
+    groupby (documented alternative)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return pd.DataFrame(
+        {"doc_id": all_ids, "cluster_rep": [find(int(i)) for i in all_ids]}
+    )
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+def simhash64(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash over word features (weight = term frequency)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RE.findall(t.lower())
+        if not toks:
+            out[i] = 0
+            continue
+        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        hs = content_hash64(list(uniq))
+        bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
+        score = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        out[i] = np.bitwise_or.reduce(bitcols[score > 0], initial=np.uint64(0))
+    return out
+
+
+def simhash_map_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sh = simhash64(batch[text_col].fill_null("").to_pylist())
+    t = batch.append_column("simhash", pa.array(sh.astype(np.int64)))
+    # 4×16-bit block keys for hamming≤3 candidate bucketing
+    for blk in range(4):
+        part = ((sh >> np.uint64(blk * 16)) & np.uint64(0xFFFF)).astype(np.int32)
+        t = t.append_column(f"sh_block_{blk}", pa.array(part))
+    return t
+
+
+def simhash_near_dup_pairs(ds: rd.Dataset, *, max_hamming: int = 3,
+                           id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via block bucketing."""
+    sh = ds.map_batches(lambda t: simhash_map_batch(t, text_col), batch_format="pyarrow")
+    sh = sh.select_columns([id_col, "simhash"] + [f"sh_block_{b}" for b in range(4)])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2 or len(ids) > 500:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        m = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "hamming": ham[m]})
+
+    frames = []
+    for blk in range(4):
+        p = (
+            sh.groupby(f"sh_block_{blk}")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .to_pandas()
+        )
+        frames.append(p)
+    out = pd.concat(frames).drop_duplicates(subset=["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---- exact n-gram Jaccard (small-scale oracle-able variant) ---------------
+
+def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold: float = 0.5, ngram: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """All-pairs exact word-n-gram Jaccard ≥ threshold.
+
+    Distributed as: broadcast all shingle sets (small at oracle scale), each
+    batch compares its rows against all higher ids.  The 10^12-scale path is
+    minhash_lsh_pairs; this exact variant exists for verification."""
+    pdf = ds.select_columns([id_col, text_col]).to_pandas()
+    sh = {int(r[id_col]): _word_ngram_hashes(r[text_col], ngram) for _, r in pdf.iterrows()}
+    ref = ray.put(sh)
+
+    def compare(batch: pd.DataFrame) -> pd.DataFrame:
+        shingles = ray.get(ref)
+        rows_a, rows_b, js = [], [], []
+        ids_all = np.array(sorted(shingles))
+        for i in batch[id_col]:
+            i = int(i)
+            for j in ids_all[ids_all > i]:
+                jac = _jaccard(shingles[i], shingles[int(j)])
+                if jac >= threshold:
+                    rows_a.append(i); rows_b.append(int(j)); js.append(jac)
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "jaccard": js})
+
+    out = ds.select_columns([id_col]).map_batches(compare, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

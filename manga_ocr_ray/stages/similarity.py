@@ -1,0 +1,281 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- :func:`knn_topk` — exact brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``); every batch does ONE f64 matmul against it
+  and emits its partial top-k; partials (batches × q × k rows, tiny) merge at
+  the end.  The full corpus streams — never materialized.
+- :func:`ivf_knn_topk` — the scale path: IVF. Deterministic centroids from a
+  hashed sample (k-means lite, driver-side on the sample only), per-batch
+  cluster assignment, search restricted to the ``nprobe`` nearest centroid
+  lists.
+- :func:`embedding_near_dup_pairs` — cosine near-duplicate pairs; exact
+  all-pairs per batch against the broadcast matrix at oracle scale, LSH
+  hyperplane-bucketed variant (:func:`lsh_near_dup_pairs`) as the scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (one copy, no Python rows)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k: → (query_id, rank, neighbor_id).
+
+    Ties broken by (cosine desc, neighbor_id asc) — deterministic and
+    oracle-matchable.  Self-matches (query_id == neighbor_id) excluded.
+    """
+    qm = _unit(np.asarray(queries, dtype=np.float64))
+    qids = np.arange(len(qm)) if query_ids is None else np.asarray(query_ids)
+    ref = ray.put((qm, qids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, qi = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = _unit(_mat(batch[vec_col]))
+        sims = q @ m.T  # (nq, nb)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            order = np.lexsort((ids[idx], -row[idx]))
+            sel = idx[order]
+            out_q.append(np.full(len(sel), qi[r]))
+            out_id.append(ids[sel])
+            out_s.append(row[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "neighbor_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
+# ---- IVF (scale path) ------------------------------------------------------
+
+def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
+                 seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0x1BF]))
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(_unit(sample) @ _unit(cent).T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return _unit(cent)
+
+
+def ivf_knn_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_frac: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k via inverted-file probe lists.
+
+    Centroids are trained driver-side on a deterministic sample (sampling a
+    bounded set, not the corpus); the corpus is then streamed once — each
+    batch scores only rows whose nearest centroid is in a query's probe set.
+    """
+    sample = _mat(
+        ds.random_sample(sample_frac, seed=seed)
+        .select_columns([vec_col])
+        .to_pandas()[vec_col]
+        .pipe(lambda s: pa.chunked_array([pa.array(list(s))]))
+    )
+    cent = _kmeans_lite(sample, n_clusters, seed=seed)
+    qm = _unit(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((qm, cent, probes))
+
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        q, c, pr = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = _unit(_mat(batch[vec_col]))
+        assign = np.argmax(m @ c.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for r in range(len(q)):
+            mask = np.isin(assign, pr[r])
+            if not mask.any():
+                continue
+            row = q[r] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(sub_ids))
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.append(np.full(len(idx), r))
+            out_id.append(sub_ids[idx])
+            out_s.append(row[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "neighbor_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = ds.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
+# ---- cosine near-duplicates ------------------------------------------------
+
+def embedding_near_dup_pairs(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    Each batch multiplies against the broadcast full matrix; only upper-
+    triangle hits are emitted.  Oracle-scale exact variant; see
+    :func:`lsh_near_dup_pairs` for the bucketed scale path."""
+    pdf = ds.select_columns([id_col, vec_col]).to_pandas()
+    all_ids = pdf[id_col].to_numpy()
+    all_m = _unit(_mat(pa.chunked_array([pa.array(list(pdf[vec_col]))])))
+    ref = ray.put((all_ids, all_m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = _unit(_mat(batch[vec_col]))
+        sims = m @ m_all.T
+        bi, aj = np.nonzero(sims >= threshold)
+        keep = ids[bi] < ids_all[aj]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi][keep].astype(np.int64)),
+                "id_b": pa.array(ids_all[aj][keep].astype(np.int64)),
+                "cosine": pa.array(sims[bi, aj][keep]),
+            }
+        )
+
+    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def lsh_near_dup_pairs(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Scale path: random-hyperplane LSH buckets → in-bucket exact verify.
+
+    Only (table, bucket_key, id, vec) rows co-locate per bucket; no full
+    matrix broadcast.  Recall is governed by n_planes/n_tables (documented
+    partitioning assumption: near pairs share a bucket in ≥1 table)."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0x9A5]))
+    d = len(ds.take(1)[0][vec_col])
+    planes = rng.standard_normal((n_tables, n_planes, d))
+    ref = ray.put(planes)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = _unit(_mat(batch[vec_col]))
+        tabs, keys, out_ids, vecs = [], [], [], []
+        for t in range(n_tables):
+            bits = (m @ pl[t].T) > 0
+            key = np.zeros(len(m), dtype=np.int64)
+            for b in range(n_planes):
+                key = (key << 1) | bits[:, b]
+            tabs.append(np.full(len(m), t, dtype=np.int32))
+            keys.append(key)
+            out_ids.append(ids)
+            vecs.append(m)
+        return pa.table(
+            {
+                "table": pa.array(np.concatenate(tabs)),
+                "key": pa.array(np.concatenate(keys)),
+                id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
+                "vec": pa.array(list(np.concatenate(vecs))),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > 1000:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia][mask], "id_b": ids[ib][mask], "cosine": sims[ia, ib][mask]}
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["table", "key"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    out = out.drop_duplicates(subset=["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
