@@ -176,6 +176,17 @@ def _q_doc_lang_id(sf_dir: str):
 
 # ---- registry --------------------------------------------------------------
 
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing demo: fake-codec decode → feature extraction on an
+    actor pool over binary payload rows (rows-only: no SQL analog)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.media import make_fake_media_table, media_feature_pipeline
+
+    n = max(64, int(6400 * _sf_of(sf_dir)))
+    ds = rd.from_arrow(make_fake_media_table(n)).repartition(max(2, n // 64))
+    return media_feature_pipeline(ds, concurrency=2, batch_size=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
@@ -208,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_ivf_topk": _q_embedding_ivf_topk,
+        # multimodal plumbing (stubbed codec, real actor-pool pipeline)
+        "media_features": _q_media_features,
         # flagship transcript pipelines (golden-tested; rows-only here)
         "transcript_extract": _q_transcript_extract,
         "transcript_merge": _q_transcript_merge,

@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline transcript-extraction pipeline plus a query
+suite over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line.
+
+``--scaling``: runs the identical headline job in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (sandbox substitute for the
+north rule's N vs 4N node clusters) and reports both throughputs plus
+scaling efficiency = (T8/T32)/4.
+
+The bench transcript corpus is generated deterministically once (Ray-
+parallel, cache keyed by size+seed under /tmp/graft_bench) and NOT timed;
+the OS page cache is warmed with one untimed read so the timed run measures
+compute + shuffle, not first-touch disk I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "800000"))  # ≈7.2M turns
+SEED = 42
+CACHE_ROOT = "/tmp/graft_bench"
+
+
+def _corpus_dir() -> str:
+    return f"{CACHE_ROOT}/transcripts_c{BENCH_CONVS}_s{SEED}"
+
+
+def ensure_corpus() -> str:
+    """Generate the bench corpus once (any CPU count — rows are pure
+    functions of (seed, conv_index), so layout differences don't matter)."""
+    path = _corpus_dir()
+    if os.path.exists(os.path.join(path, "_DONE")):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    from manga_ocr_ray.corpus import transcripts_dataset
+
+    ds = transcripts_dataset(BENCH_CONVS, seed=SEED, mega_every=200_003,
+                             mega_turns=5000, convs_per_block=4000)
+    ds.write_parquet(path)
+    with open(os.path.join(path, "_DONE"), "w") as f:
+        f.write("ok")
+    return path
+
+
+def run_headline(corpus: str) -> dict:
+    import ray.data as rd
+
+    from manga_ocr_ray.pipelines.extract import extract_turns, read_transcripts
+
+    # Warm-up (untimed): run the REAL pipeline over a SMALL in-memory corpus
+    # so Ray worker processes spawn and import the library.  (limit() on the
+    # big corpus does NOT short-circuit the actor pool — measured 74s.)
+    from manga_ocr_ray.corpus import transcripts_dataset
+
+    extract_turns(transcripts_dataset(2_000, seed=7), num_buckets=64).count()
+    # full untimed read pass → input lands in the OS page cache
+    rd.read_parquet(corpus).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow"
+    ).count()
+
+    out_dir = f"{CACHE_ROOT}/out_{NUM_CPUS}_{time.time_ns()}"
+    t0 = time.perf_counter()
+    ds = extract_turns(read_transcripts(corpus), num_buckets=64)
+    ds.write_parquet(out_dir, min_rows_per_file=200_000)
+    elapsed = time.perf_counter() - t0
+    n = rd.read_parquet(out_dir, columns=["turn_idx"]).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": elapsed, "turns": n, "turns_per_sec": n / elapsed}
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    chosen = [
+        "q1_pricing_summary", "events_hourly", "events_sessions",
+        "doc_normalize", "doc_strip_html", "doc_quality",
+        "doc_minhash_dedup", "doc_exact_dedup",
+        "embedding_topk", "embedding_near_dup",
+    ]
+    out: dict[str, float] = {}
+    for name in chosen:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    corpus = ensure_corpus()
+    headline = run_headline(corpus)
+    queries = run_queries()
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "transcript_extraction_end_to_end",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1),
+        "num_cpus": NUM_CPUS,
+        "turns": headline["turns"],
+        "turns_per_sec": round(headline["turns_per_sec"], 1),
+    }))
+
+
+def scaling() -> None:
+    """Same job, two parallelism levels, fresh processes (north-rule
+    evidence protocol)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tps8 = results[8]["turns_per_sec"]
+    tps32 = results[32]["turns_per_sec"]
+    eff = (tps32 / tps8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "turns": results[32]["turns"],
+        "sec_8cpu": results[8]["value"],
+        "sec_32cpu": results[32]["value"],
+        "turns_per_sec_8cpu": tps8,
+        "turns_per_sec_32cpu": tps32,
+        "speedup": round(tps32 / tps8, 3),
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

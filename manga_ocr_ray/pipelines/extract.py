@@ -46,7 +46,7 @@ def read_transcripts(path: str | list[str], columns: list[str] | None = None) ->
 def extract_turns(
     ds: rd.Dataset,
     *,
-    batch_size: int = 1024,
+    batch_size: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
     num_buckets: int = 64,
     skip_buckets: set[int] | None = None,
@@ -89,7 +89,7 @@ def run_extraction(
     *,
     fingerprint: str,
     num_buckets: int = 64,
-    batch_size: int = 1024,
+    batch_size: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
 ) -> dict[str, Any]:
     """Resume-aware end-to-end run: extract missing buckets, write partitioned

@@ -131,6 +131,35 @@ class MinHashStage:
         return pa.table(cols)
 
 
+def bucket_pairs_vectorized(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
+                            max_bucket: int = 200) -> pd.DataFrame:
+    """All within-bucket candidate pairs for every bucket in one shard group.
+
+    One sort + run-length detection over the whole group; a Python loop runs
+    only over buckets with ≥2 members (rare).  Buckets larger than
+    ``max_bucket`` are skipped as degenerate (hot-key guard; a bucket that
+    large means the band key carries no signal)."""
+    if len(g) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    g = g.sort_values(bucket_cols + [id_col])
+    ids = g[id_col].to_numpy()
+    combo = np.zeros(len(g), dtype=np.uint64)
+    for c in bucket_cols:
+        combo = mix64(combo ^ g[c].to_numpy().astype(np.uint64))
+    boundaries = np.flatnonzero(np.concatenate(([True], combo[1:] != combo[:-1], [True])))
+    out_a, out_b = [], []
+    for s, e in zip(boundaries[:-1], boundaries[1:]):
+        c = e - s
+        if c < 2 or c > max_bucket:
+            continue
+        ia, ib = np.triu_indices(c, k=1)
+        out_a.append(ids[s:e][ia])
+        out_b.append(ids[s:e][ib])
+    if not out_a:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+
+
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
@@ -165,26 +194,34 @@ def minhash_lsh_pairs(
         batch_format="pyarrow", concurrency=concurrency,
     )
 
-    # explode to (band, key, id) rows — only these small rows shuffle
+    # explode to (shard, band, key, id) rows — only these small rows shuffle.
+    # The groupby key is a SHARD (hash of (band,key) mod n_shards), not the
+    # raw bucket: shuffling 10^7+ one-row groups through map_groups pays a
+    # per-group python overhead that dominates; with shards, each group task
+    # receives many buckets and resolves them with one vectorized pass.
+    # Size n_shards ≈ corpus_rows×bands / 50k so shard groups stay bounded.
+    n_shards = max(64, min(8192, int(np.sqrt(max(1, ds.count())))))
+
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
         ids = np.repeat(t[id_col].to_numpy(), bands)
         band = np.tile(np.arange(bands, dtype=np.int32), n)
         keys = np.stack([t[f"band_{bi}"].to_numpy() for bi in range(bands)], axis=1).ravel()
-        return pa.table({"band": pa.array(band), "key": pa.array(keys), id_col: pa.array(ids)})
+        shard = (
+            mix64(keys.astype(np.uint64) + (np.uint64(0x9E3779B9) * (band.astype(np.uint64) + 1)))
+            % np.uint64(n_shards)
+        ).astype(np.int32)
+        return pa.table({"shard": pa.array(shard), "band": pa.array(band),
+                         "key": pa.array(keys), id_col: pa.array(ids)})
 
     buckets = banded.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > 200:  # skip degenerate mega-buckets
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_pairs_vectorized(g, ["band", "key"], id_col, max_bucket=200)
 
     cand = (
-        buckets.groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        buckets.groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
@@ -257,34 +294,56 @@ def simhash_map_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def simhash_near_dup_pairs(ds: rd.Dataset, *, max_hamming: int = 3,
                            id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming via block bucketing."""
-    sh = ds.map_batches(lambda t: simhash_map_batch(t, text_col), batch_format="pyarrow")
-    sh = sh.select_columns([id_col, "simhash"] + [f"sh_block_{b}" for b in range(4)])
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 500:
+    Pigeonhole bucketing (hamming ≤3 ⇒ ≥1 of the 4 16-bit blocks equal):
+    one exploded (shard, block, key, id, simhash) table, ONE groupby on the
+    shard, vectorized candidate generation per shard, hamming verify."""
+    sh = ds.map_batches(lambda t: simhash_map_batch(t, text_col), batch_format="pyarrow")
+    n_shards = max(64, min(8192, int(np.sqrt(max(1, ds.count())))))
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = np.repeat(t[id_col].to_numpy(), 4)
+        sims = np.repeat(t["simhash"].to_numpy(), 4)
+        blk = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = np.stack([t[f"sh_block_{b}"].to_numpy() for b in range(4)], axis=1).ravel()
+        shard = (
+            mix64(keys.astype(np.uint64) + (np.uint64(0x9E3779B9) * (blk.astype(np.uint64) + 1)))
+            % np.uint64(n_shards)
+        ).astype(np.int32)
+        return pa.table({"shard": pa.array(shard), "blk": pa.array(blk),
+                         "key": pa.array(keys), id_col: pa.array(ids),
+                         "simhash": pa.array(sims)})
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cand = bucket_pairs_vectorized(g, ["blk", "key"], id_col, max_bucket=500)
+        if cand.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = hs[ia] ^ hs[ib]
+        lut = dict(zip(g[id_col], g["simhash"].astype(np.int64)))
+        ha = np.array([lut[i] for i in cand["id_a"]], dtype=np.int64).astype(np.uint64)
+        hb = np.array([lut[i] for i in cand["id_b"]], dtype=np.int64).astype(np.uint64)
+        x = ha ^ hb
         ham = np.zeros(len(x), dtype=np.int64)
         while x.any():
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         m = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "hamming": ham[m]})
+        return pd.DataFrame({"id_a": cand["id_a"][m], "id_b": cand["id_b"][m],
+                             "hamming": ham[m]})
 
-    frames = []
-    for blk in range(4):
-        p = (
-            sh.groupby(f"sh_block_{blk}")
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .to_pandas()
-        )
-        frames.append(p)
-    out = pd.concat(frames).drop_duplicates(subset=["id_a", "id_b"])
+    out = (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    out = out.drop_duplicates(subset=["id_a", "id_b"])
+    out = out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

