@@ -204,6 +204,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.q_events_sessions,
         "top_parts_per_brand": R.q_top_parts_per_brand,
         "doc_split": R.q_doc_split,
+        "order_revenue_join": R.q_order_revenue_join,
+        "events_asof_signup": R.q_events_asof_signup,
+        "events_cumulative": R.q_events_cumulative,
+        "doc_char_classes": R.q_doc_char_classes,
         # extraction / normalization kernels ([core] M1, S3, M6/M7 analogs)
         "doc_normalize": D.q_doc_normalize,
         "doc_strip_html": D.q_doc_strip_html,
@@ -243,6 +247,10 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": R.Q_EVENTS_SESSIONS_SQL,
         "top_parts_per_brand": R.Q_TOP_PARTS_PER_BRAND_SQL,
         "doc_split": R.Q_DOC_SPLIT_SQL,
+        "order_revenue_join": R.Q_ORDER_REVENUE_JOIN_SQL,
+        "events_asof_signup": R.Q_EVENTS_ASOF_SQL,
+        "events_cumulative": R.Q_EVENTS_CUMULATIVE_SQL,
+        "doc_char_classes": R.Q_DOC_CHAR_CLASSES_SQL,
         "doc_normalize": D.Q_DOC_NORMALIZE_SQL,
         "doc_strip_html": D.q_doc_strip_html_sql(),
         "doc_flatten_pdf": D.q_doc_flatten_pdf_sql(),

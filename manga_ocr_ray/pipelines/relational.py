@@ -348,3 +348,135 @@ SELECT doc_id,
             THEN 'test' ELSE 'train' END AS split
 FROM documents
 """
+
+
+# ---- large-large hash join (Ray native partitioned join) -------------------
+
+def q_order_revenue_join(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ lineitem (both sides large → Ray's hash-partitioned join),
+    then revenue per order priority.  The shuffle-join path, in contrast to
+    the broadcast joins above."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    joined = orders.join(li, join_type="inner", num_partitions=16,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="total_revenue"), Count(alias_name="n_items")
+    )
+
+
+Q_ORDER_REVENUE_JOIN_SQL = """
+SELECT o_orderpriority,
+       sum(l_extendedprice * (1 - l_discount)) AS total_revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---- as-of join (custom operator Ray Data lacks) ---------------------------
+
+def q_events_asof_signup(sf_dir: str) -> rd.Dataset:
+    """As-of join: each purchase event matched to the user's most recent
+    signup event at-or-before its timestamp.
+
+    Implementation: hash-partition by user via ONE groupby(user_id), then a
+    ts-sorted ``pd.merge_asof`` per group — the documented composition for
+    as-of/range joins (partitioning assumption: one user's events fit one
+    group; salting by time range would relax this for pathological users).
+    """
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        buys = g[g.event_type == "purchase"].sort_values(["ts", "event_id"])
+        signups = g[g.event_type == "signup"].sort_values(["ts", "event_id"])
+        if buys.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "signup_event_id": pd.Series([], dtype="int64")})
+        # keep the LAST signup per ts so ties resolve to max event_id
+        merged = pd.merge_asof(
+            buys[["event_id", "user_id", "ts"]],
+            signups[["event_id", "ts"]].rename(columns={"event_id": "signup_event_id"}),
+            on="ts", direction="backward", allow_exact_matches=True,
+        )
+        merged = merged.dropna(subset=["signup_event_id"])
+        return merged[["event_id", "user_id", "signup_event_id"]].astype(
+            {"signup_event_id": "int64"})
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+Q_EVENTS_ASOF_SQL = """
+WITH buys AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT b.event_id, b.user_id, g.event_id AS signup_event_id,
+                  row_number() OVER (PARTITION BY b.event_id
+                                     ORDER BY g.ts DESC, g.event_id DESC) AS rn
+           FROM buys b JOIN events g
+             ON g.user_id = b.user_id AND g.event_type = 'signup' AND g.ts <= b.ts)
+SELECT event_id, user_id, signup_event_id FROM s WHERE rn = 1
+"""
+
+
+# ---- windowed running aggregate --------------------------------------------
+
+def q_events_cumulative(sf_dir: str) -> rd.Dataset:
+    """Per-user running sum of ``value`` in (ts, event_id) order — the
+    stream-shaped incremental aggregate, via sorted map_groups."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "running_value": g["value"].cumsum(),
+        })
+
+    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+
+
+Q_EVENTS_CUMULATIVE_SQL = """
+SELECT event_id, user_id,
+       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_value
+FROM events
+"""
+
+
+# ---- M13: char-class fractions (vectorized codepoint ranges) ---------------
+
+def q_doc_char_classes(sf_dir: str) -> rd.Dataset:
+    """ascii/digit/space char counts per document — the reference's char
+    classifiers (common/utils.py:60-151) as RE2 count kernels."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def classes(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ascii_alpha": pc.cast(pc.count_substring_regex(text, pattern="[A-Za-z]"), pa.int64()),
+            "n_digit": pc.cast(pc.count_substring_regex(text, pattern="[0-9]"), pa.int64()),
+            "n_space": pc.cast(pc.count_substring_regex(text, pattern=" "), pa.int64()),
+        })
+
+    return ds.map_batches(classes, batch_format="pyarrow")
+
+
+Q_DOC_CHAR_CLASSES_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_ascii_alpha,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+       len(regexp_extract_all(text, ' ')) AS n_space
+FROM documents
+"""
