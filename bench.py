@@ -114,7 +114,8 @@ def main() -> None:
 
     corpus = ensure_corpus()
     headline = run_headline(corpus)
-    queries = run_queries()
+    # scaling children only need the headline number — skip the query suite
+    queries = {} if os.environ.get("GRAFT_SCALING_CHILD") else run_queries()
     ray.shutdown()
 
     print(json.dumps({

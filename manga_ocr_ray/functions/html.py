@@ -83,27 +83,29 @@ def strip_html_sql(expr: str) -> str:
 
 
 def _decode_entities(text: str) -> str:
+    if "&" not in text:
+        return text
     for lit, rep in _ENTITY_STEPS:
         text = text.replace(lit, rep)
     return text
 
 
-def extract_main_html(html: str) -> str:
-    """Main-content extraction for ONE document (called per row in a batch).
-
-    Steps: drop comments/script/style/rt → drop boilerplate-tagged regions →
-    split into DOM blocks → drop empty / link-dense blocks → strip inline
-    tags → decode entities → join blocks with newlines.
-    """
-    for rx in _PRE_RE:
-        html = rx.sub(" ", html)
-    for rx in _BOILERPLATE_RE:
-        html = rx.sub(" ", html)
+def _extract_blocks(html: str) -> str:
+    """Block classification for ONE pre-stripped document (comments/script/
+    style/rt/boilerplate regions already removed): split into DOM blocks →
+    drop empty / link-dense blocks → strip inline tags → decode entities →
+    join blocks with newlines."""
     blocks = _BLOCK_SPLIT_RE.split(html)
     kept: list[str] = []
     for block in blocks:
-        anchor_chars = sum(len(_TAG_RE.sub("", m)) for m in _ANCHOR_RE.findall(block))
-        text = _TAG_RE.sub(" ", block)
+        has_tag = "<" in block
+        if has_tag and ("<a" in block or "<A" in block):
+            anchor_chars = sum(
+                len(_TAG_RE.sub("", m)) for m in _ANCHOR_RE.findall(block)
+            )
+        else:
+            anchor_chars = 0
+        text = _TAG_RE.sub(" ", block) if has_tag else block
         stripped = text.strip()
         if not stripped:
             continue
@@ -111,6 +113,38 @@ def extract_main_html(html: str) -> str:
             continue
         kept.append(_decode_entities(stripped))
     return "\n".join(kept)
+
+
+def extract_main_html(html: str) -> str:
+    """Main-content extraction for ONE document.
+
+    Steps: drop comments/script/style/rt → drop boilerplate-tagged regions →
+    :func:`_extract_blocks`.  The batched hot path is
+    :func:`extract_main_html_array`, which runs the 9 whole-document regex
+    passes as RE2 Arrow kernels instead of per-row Python.
+    """
+    for rx in _PRE_RE:
+        html = rx.sub(" ", html)
+    for rx in _BOILERPLATE_RE:
+        html = rx.sub(" ", html)
+    return _extract_blocks(html)
+
+
+# whole-document passes for the vectorized path, in extract_main_html order
+_PRE_STEPS_RE2: list[str] = [p for p, _ in _STRIP_STEPS[:4]] + [
+    rf"(?is)<{t}\b[^>]*>.*?</{t}>" for t in _BOILERPLATE_TAGS
+]
+
+
+def extract_main_html_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Batched main-content extraction: the 9 whole-document strip passes run
+    vectorized (RE2 kernels over the whole array); only the per-block
+    text/link-density classification stays per-row Python."""
+    for pat in _PRE_STEPS_RE2:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=" ")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array([_extract_blocks(t) for t in arr.to_pylist()], pa.string())
 
 
 def extract_main_html_batch(texts: list[str]) -> list[str]:

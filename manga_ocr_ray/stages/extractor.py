@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.html import extract_main_html, strip_html_array
+from ..functions.html import extract_main_html_array, strip_html_array
 from ..functions.normalize import normalize_texts
 from ..functions.pdf import flatten_pdf_array
 
@@ -103,7 +103,8 @@ class ExtractorActor:
             idx = np.flatnonzero(tool_np == kind)
             sub = text.take(pa.array(idx)).fill_null("")
             if kind == "html":
-                vals = [extract_main_html(t) for t in sub.to_pylist()]
+                # 9 whole-doc strip passes vectorized; per-block scoring per row
+                vals = extract_main_html_array(sub).to_pylist()
             elif kind == "pdf":
                 vals = flatten_pdf_array(sub).to_pylist()
             elif kind == "json":
@@ -117,13 +118,12 @@ class ExtractorActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         raw = self._extract(batch[self.text_col], batch[self.tool_col])
         final = normalize_texts(raw) if self.normalize else raw
-        batch = batch.append_column(self.out_col, pa.array(final, pa.string()))
+        out_arr = pa.array(final, pa.string())
+        batch = batch.append_column(self.out_col, out_arr)
         if self.emit_metrics:
-            raw_len = pa.array(
-                np.fromiter((len(t) for t in batch[self.text_col].fill_null("").to_pylist()),
-                            dtype=np.int64, count=len(final)))
-            out_len = pa.array(
-                np.fromiter((len(t) for t in final), dtype=np.int64, count=len(final)))
+            raw_len = pc.cast(
+                pc.utf8_length(batch[self.text_col].fill_null("")), pa.int64())
+            out_len = pc.cast(pc.utf8_length(out_arr), pa.int64())
             batch = batch.append_column("raw_chars", raw_len)
             batch = batch.append_column("extracted_chars", out_len)
         if self.drop_payload:
