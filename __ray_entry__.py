@@ -174,7 +174,38 @@ def _q_doc_lang_id(sf_dir: str):
     )
 
 
-# ---- registry --------------------------------------------------------------
+# ---- registry-compiled pipeline (§2.10 plugin surface) ---------------------
+
+def _q_registry_clean(sf_dir: str):
+    """Spec-driven pipeline (the reference's config-as-data augmentation
+    compiler, training/augmentations.py:49-117, re-expressed): wrap docs in
+    HTML noise → strip → normalize → token-count, compiled from a declarative
+    step list by manga_ocr_ray.registry.build_pipeline."""
+    import ray.data as rd
+    from manga_ocr_ray.registry import build_pipeline
+
+    pipe = build_pipeline([
+        {"op": "wrap_html", "in_col": "text", "out_col": "wrapped"},
+        {"op": "strip_html", "in_col": "wrapped", "out_col": "clean_text"},
+        {"op": "normalize", "in_col": "clean_text", "out_col": "clean_text"},
+        {"op": "token_count", "in_col": "clean_text", "out_col": "n_tokens"},
+        {"op": "select", "columns": ["doc_id", "clean_text", "n_tokens"]},
+    ])
+    return pipe(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _registry_clean_sql() -> str:
+    from manga_ocr_ray.functions.html import strip_html_sql
+    from manga_ocr_ray.pipelines.documents import _HTML_POST, _HTML_PRE, normalize_sql
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    clean = normalize_sql(strip_html_sql(f"'{pre}' || text || '{post}'"))
+    return (
+        f"SELECT doc_id, {clean} AS clean_text, "
+        f"len(regexp_extract_all({clean}, '[A-Za-z0-9]+')) AS n_tokens FROM documents"
+    )
+
 
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo: fake-codec decode → feature extraction on an
@@ -208,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_signup": R.q_events_asof_signup,
         "events_cumulative": R.q_events_cumulative,
         "doc_char_classes": R.q_doc_char_classes,
+        "customers_no_orders": R.q_customers_no_orders,
+        "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         # extraction / normalization kernels ([core] M1, S3, M6/M7 analogs)
         "doc_normalize": D.q_doc_normalize,
         "doc_strip_html": D.q_doc_strip_html,
@@ -215,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": D.q_doc_quality,
         "doc_exact_dedup": D.q_doc_exact_dedup,
         "doc_fingerprint": D.q_doc_fingerprint,
+        "doc_token_count": D.q_doc_token_count,
+        "doc_tokens": D.q_doc_tokens,
+        "registry_clean": _q_registry_clean,
         # training-data operators
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -251,6 +287,11 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_signup": R.Q_EVENTS_ASOF_SQL,
         "events_cumulative": R.Q_EVENTS_CUMULATIVE_SQL,
         "doc_char_classes": R.Q_DOC_CHAR_CLASSES_SQL,
+        "customers_no_orders": R.Q_CUSTOMERS_NO_ORDERS_SQL,
+        "suppliers_with_bigparts": R.Q_SUPPLIERS_WITH_BIGPARTS_SQL,
+        "doc_token_count": D.Q_DOC_TOKEN_COUNT_SQL,
+        "doc_tokens": D.Q_DOC_TOKENS_SQL,
+        "registry_clean": _registry_clean_sql(),
         "doc_normalize": D.Q_DOC_NORMALIZE_SQL,
         "doc_strip_html": D.q_doc_strip_html_sql(),
         "doc_flatten_pdf": D.q_doc_flatten_pdf_sql(),

@@ -155,3 +155,65 @@ def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
         lambda t: fingerprint_map_batch(t, "text").select(["doc_id", "fingerprint"]),
         batch_format="pyarrow",
     )
+
+
+# ---- token counting (training-data op; whitespace+BPE-ish regex) -----------
+
+def q_doc_token_count(sf_dir: str) -> rd.Dataset:
+    from ..functions.textstats import token_count_array
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(token_count_array(t["text"]), pa.int64()),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+Q_DOC_TOKEN_COUNT_SQL = """
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+FROM documents
+"""
+
+
+# ---- flat_map: explode documents into (doc_id, tok_idx, token) rows --------
+# The XML→rows flattener pattern (S6/M6/M7, process_manga109s.py:71-144) as a
+# fully vectorized Arrow explode: split_pattern_regex → list_flatten +
+# list_parent_indices; no Python row loop.
+
+def q_doc_tokens(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"].combine_chunks(), pattern="[^A-Za-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        keep_arr = pc.not_equal(pc.utf8_length(flat), pa.scalar(0))
+        keep = keep_arr.to_numpy(zero_copy_only=False)  # drop split artifacts
+        parent = parent[keep]
+        # 0-based position among kept tokens of the same doc (parents are
+        # contiguous after flatten, so a segmented cumcount suffices)
+        pos = np.arange(parent.size, dtype=np.int64)
+        if parent.size:
+            starts = np.flatnonzero(np.r_[True, np.diff(parent) != 0])
+            pos = pos - np.repeat(pos[starts], np.diff(np.r_[starts, parent.size]))
+        doc_ids = t["doc_id"].combine_chunks().to_numpy()[parent]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tok_idx": pa.array(pos, pa.int64()),
+            "token": flat.filter(keep_arr),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+Q_DOC_TOKENS_SQL = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') ts FROM documents)
+SELECT doc_id,
+       unnest(list_transform(generate_series(1, len(ts)), i -> i - 1)) AS tok_idx,
+       unnest(ts) AS token
+FROM toks
+"""

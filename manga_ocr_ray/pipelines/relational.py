@@ -480,3 +480,58 @@ SELECT doc_id,
        len(regexp_extract_all(text, ' ')) AS n_space
 FROM documents
 """
+
+
+# ---- semi / anti joins (J4/J5: manifest anti-join pattern) -----------------
+
+def q_customers_no_orders(sf_dir: str) -> rd.Dataset:
+    """Customers with no big-ticket order — Ray's native hash-partitioned
+    LEFT ANTI join after a pushed-down filter on the probe side (the resume
+    anti-join of SURVEY §4.2 at relational scale; the reference's existence
+    check is dataset.py:117-121)."""
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(expr="o_totalprice > 450000.0").select_columns(["o_custkey"])
+    return cust.join(big, join_type="left_anti", num_partitions=16,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+Q_CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+"""
+
+
+def q_suppliers_with_bigparts(sf_dir: str) -> rd.Dataset:
+    """Suppliers of at least one part with size >= 40 — LEFT SEMI join
+    after a pushed-down filter on the probe side."""
+    supp = rd.read_parquet(_pq(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_name", "s_nationkey"])
+    part = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    big = part.filter(expr="p_size >= 40")
+
+    # the driver tables carry no partsupp; the supplying relation is derived
+    # identically on both sides as the modulo class p_partkey % 1000
+    def modclass(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].combine_chunks().to_numpy()
+        return pa.table({"sk_mod": pa.array((pk % 1000).astype("int64"))})
+
+    probe = big.map_batches(modclass, batch_format="pyarrow")
+
+    def smod(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].combine_chunks().to_numpy()
+        return t.append_column("sk_mod", pa.array((sk % 1000).astype("int64")))
+
+    supp2 = supp.map_batches(smod, batch_format="pyarrow")
+    out = supp2.join(probe, join_type="left_semi", num_partitions=8, on=("sk_mod",))
+    return out.select_columns(["s_suppkey", "s_name", "s_nationkey"])
+
+
+Q_SUPPLIERS_WITH_BIGPARTS_SQL = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier WHERE s_suppkey % 1000 IN
+  (SELECT p_partkey % 1000 FROM part WHERE p_size >= 40)
+"""
