@@ -128,21 +128,10 @@ def _q_doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return pairs[["id_a", "id_b"]].astype("int64")
 
 
-_Q_DOC_MINHASH_SQL = """
-WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ws FROM documents),
-grams AS (SELECT doc_id,
-                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-                      ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
-                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-                 END AS gs
-          FROM toks)
-SELECT id_a, id_b FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.gs, b.gs)) * 1.0
-           / len(list_distinct(list_concat(a.gs, b.gs))) AS j
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id) t
-WHERE j >= 0.8
-"""
+def _minhash_pair_sql() -> str:
+    from manga_ocr_ray.pipelines.documents import Q_DOC_MINHASH_PAIR_SQL
+
+    return Q_DOC_MINHASH_PAIR_SQL
 
 
 def _q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
@@ -153,7 +142,6 @@ def _q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return ngram_jaccard_pairs(ds, threshold=0.15)[["id_a", "id_b"]].astype("int64")
 
 
-_Q_DOC_NGRAM_JACCARD_SQL = _Q_DOC_MINHASH_SQL.replace(">= 0.8", ">= 0.15")
 
 
 def _q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -162,6 +150,16 @@ def _q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
+def _q_events_approx_users(sf_dir: str) -> pd.DataFrame:
+    """HLL approximate distinct users (rows-only: a sketch has no exact SQL
+    twin; accuracy is pinned by tests/test_sketch.py instead)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return pd.DataFrame({"approx_users": [approx_distinct(ds, "user_id")]})
 
 
 def _q_doc_lang_id(sf_dir: str):
@@ -253,7 +251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registry_clean": _q_registry_clean,
         # training-data operators
         "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "doc_minhash_keep": D.q_doc_minhash_keep,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "events_approx_users": _q_events_approx_users,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_lang_id": _q_doc_lang_id,
         "embedding_topk": _q_embedding_topk,
@@ -297,8 +297,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_flatten_pdf": D.q_doc_flatten_pdf_sql(),
         "doc_quality": D.Q_DOC_QUALITY_SQL,
         "doc_exact_dedup": D.Q_DOC_EXACT_DEDUP_SQL,
-        "doc_minhash_dedup": _Q_DOC_MINHASH_SQL,
-        "doc_ngram_jaccard": _Q_DOC_NGRAM_JACCARD_SQL,
+        "doc_minhash_dedup": _minhash_pair_sql(),
+        "doc_ngram_jaccard": _minhash_pair_sql().replace(">= 0.8", ">= 0.15"),
+        "doc_minhash_keep": D.q_doc_minhash_keep_sql(),
         "embedding_topk": _Q_EMBEDDING_TOPK_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
     }

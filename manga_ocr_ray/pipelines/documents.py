@@ -217,3 +217,50 @@ SELECT doc_id,
        unnest(ts) AS token
 FROM toks
 """
+
+
+# ---- near-dup clustering: connected components over LSH pairs ---------------
+
+def q_doc_minhash_keep(sf_dir: str) -> rd.Dataset:
+    """Every document with its near-dup cluster representative (min doc_id
+    over the connected component of exact-Jaccard≥0.8 LSH pairs).  Oracle:
+    recursive-CTE reachability closure in DuckDB."""
+    from ..stages.dedup import minhash_lsh_pairs, near_dup_cluster_assign
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.8, num_hashes=128, bands=32)
+    out = near_dup_cluster_assign(_docs(sf_dir, ["doc_id"]), pairs)
+    return out.select_columns(["doc_id", "cluster_rep"])
+
+
+Q_DOC_MINHASH_PAIR_SQL = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ws FROM documents),
+grams AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                 END AS gs
+          FROM toks)
+SELECT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.gs, b.gs)) * 1.0
+           / len(list_distinct(list_concat(a.gs, b.gs))) AS j
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id) t
+WHERE j >= 0.8
+"""
+
+
+def q_doc_minhash_keep_sql() -> str:
+    # reuse the exact pair predicate of the minhash oracle, then take the
+    # reachability closure and keep the min reachable id per doc
+    return f"""
+WITH RECURSIVE pair AS ({Q_DOC_MINHASH_PAIR_SQL}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pair
+          UNION ALL SELECT id_b, id_a FROM pair),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
+"""

@@ -374,3 +374,42 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold: float = 0.5, ngram: int = 
 
     out = ds.select_columns([id_col]).map_batches(compare, batch_format="pandas").to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def near_dup_cluster_assign(
+    ds: rd.Dataset, pairs: pd.DataFrame, *, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Assign every row its near-dup cluster representative (min id).
+
+    Scale shape: union-find runs over the PAIR set only (tiny relative to the
+    corpus); the resulting {id → rep} map covers just pair-touched ids and is
+    broadcast once via ``ray.put`` — untouched rows are their own rep, so the
+    corpus itself never leaves the cluster.  Keep-first dedup is then a simple
+    ``doc_id == cluster_rep`` filter.
+    """
+    import ray
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    rep_map = {i: find(i) for i in parent}
+    map_ref = ray.put(rep_map)
+
+    def assign(t: pa.Table) -> pa.Table:
+        reps = ray.get(map_ref)
+        ids = t[id_col].combine_chunks().to_numpy()
+        out = np.fromiter((reps.get(int(i), int(i)) for i in ids),
+                          dtype=np.int64, count=len(ids))
+        return t.append_column("cluster_rep", pa.array(out))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,81 @@
+"""G3 metrics (CER / exact match) and the HLL distinct sketch."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from manga_ocr_ray.functions.metrics import cer_metrics, edit_distance
+from manga_ocr_ray.stages.sketch import approx_distinct, hll_estimate, hll_partial
+
+
+def test_edit_distance_known_values():
+    assert edit_distance("", "") == 0
+    assert edit_distance("abc", "") == 3
+    assert edit_distance("", "abc") == 3
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance("flaw", "lawn") == 2
+    assert edit_distance("日本語テスト", "日本語ですと") == 3
+
+
+def test_edit_distance_matches_reference_dp():
+    import random
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            new = [i + 1]
+            for j, cb in enumerate(b):
+                new.append(min(dp[j] + (ca != cb), dp[j + 1] + 1, new[-1] + 1))
+            dp = new
+        return dp[-1]
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
+        assert edit_distance(a, b) == ref(a, b)
+
+
+def test_cer_metrics_distributed(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "extracted_text": ["hello", "worl", "exact", "ab"],
+        "expected_text": ["hello", "world", "exact", "xy"],
+    })
+    out = cer_metrics(rd.from_pandas(df))
+    assert out["n_turns"] == 4
+    assert abs(out["exact_match"] - 0.5) < 1e-12
+    # edits: 0 + 1 + 0 + 2 = 3; chars: 5+5+5+2 = 17
+    assert abs(out["cer"] - 3 / 17) < 1e-12
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**63, size=50_000, dtype=np.uint64)
+    est = hll_estimate(hll_partial(np.tile(h, 2)))  # duplicates don't count
+    assert abs(est - 50_000) / 50_000 < 0.05
+    merged = np.maximum(hll_partial(h[:30_000]), hll_partial(h[30_000:]))
+    assert hll_estimate(merged) == hll_estimate(hll_partial(h))
+
+
+def test_approx_distinct_events(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    exact = duckdb.sql(f"select count(distinct user_id) from '{path}'").fetchone()[0]
+    est = approx_distinct(rd.read_parquet(path, columns=["user_id"]), "user_id")
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_near_dup_cluster_assign(ray_session):
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.dedup import near_dup_cluster_assign
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3, 4, 5]}))
+    pairs = pd.DataFrame({"id_a": [1, 2, 4], "id_b": [2, 3, 5]})
+    out = {r["doc_id"]: r["cluster_rep"]
+           for r in near_dup_cluster_assign(ds, pairs).take_all()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
