@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_classes": R.q_doc_char_classes,
         "customers_no_orders": R.q_customers_no_orders,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
+        "event_types": R.q_event_types,
         # extraction / normalization kernels ([core] M1, S3, M6/M7 analogs)
         "doc_normalize": D.q_doc_normalize,
         "doc_strip_html": D.q_doc_strip_html,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_classes": R.Q_DOC_CHAR_CLASSES_SQL,
         "customers_no_orders": R.Q_CUSTOMERS_NO_ORDERS_SQL,
         "suppliers_with_bigparts": R.Q_SUPPLIERS_WITH_BIGPARTS_SQL,
+        "event_types": R.Q_EVENT_TYPES_SQL,
         "doc_token_count": D.Q_DOC_TOKEN_COUNT_SQL,
         "doc_tokens": D.Q_DOC_TOKENS_SQL,
         "registry_clean": _registry_clean_sql(),

@@ -535,3 +535,15 @@ SELECT s_suppkey, s_name, s_nationkey
 FROM supplier WHERE s_suppkey % 1000 IN
   (SELECT p_partkey % 1000 FROM part WHERE p_size >= 40)
 """
+
+
+# ---- distinct (G2: the shuffle-dedup of keys) ------------------------------
+
+def q_event_types(sf_dir: str) -> rd.Dataset:
+    """Distinct event types — groupby-based distinct (G2,
+    generate_backgrounds.py:107's ``unique()`` at relational scale)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type"])
+    return ds.groupby("event_type").count().select_columns(["event_type"])
+
+
+Q_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"

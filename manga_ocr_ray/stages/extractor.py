@@ -74,12 +74,20 @@ class ExtractorActor:
         normalize: bool = True,
         emit_metrics: bool = True,
         drop_payload: bool = True,
+        quarantine: bool = False,
     ):
         self.text_col = text_col
         self.tool_col = tool_col
         self.out_col = out_col
         self.normalize = normalize
         self.emit_metrics = emit_metrics
+        # Poison-row quarantine (SURVEY §4.2): when a kind-group kernel throws,
+        # re-run that group row-by-row so only the offending rows degrade —
+        # they pass through with an ``extract_error`` tag instead of being
+        # dropped silently (the reference's skip-and-log, run.py:210-212,
+        # hardened).  Off by default: it adds an output column.
+        self.quarantine = quarantine
+        self._errors: list[str | None] = []
         # Drop the raw payload column from the output batch: carrying it to a
         # later Project doubles every block written to the object store
         # (measured ~20% end-to-end throughput cost at 32 cpus).
@@ -99,21 +107,37 @@ class ExtractorActor:
         out: list[str | None] = [None] * n
         tool_np = np.asarray(tool.fill_null("").to_numpy(zero_copy_only=False))
 
+        self._errors = [None] * n
+
         for kind in np.unique(tool_np):
             idx = np.flatnonzero(tool_np == kind)
             sub = text.take(pa.array(idx)).fill_null("")
-            if kind == "html":
-                # 9 whole-doc strip passes vectorized; per-block scoring per row
-                vals = extract_main_html_array(sub).to_pylist()
-            elif kind == "pdf":
-                vals = flatten_pdf_array(sub).to_pylist()
-            elif kind == "json":
-                vals = [extract_json_content(t) for t in sub.to_pylist()]
-            else:  # "", "text", unknown → passthrough
-                vals = sub.to_pylist()
+            try:
+                vals = self._kernel(sub, kind)
+            except Exception:
+                if not self.quarantine:
+                    raise
+                # isolate the poison rows: retry one-by-one, quarantine failures
+                vals = []
+                for j, t in enumerate(sub.to_pylist()):
+                    try:
+                        vals.append(self._kernel(pa.array([t], pa.string()), kind)[0])
+                    except Exception as row_err:
+                        vals.append("")
+                        self._errors[idx[j]] = f"{type(row_err).__name__}: {row_err}"
             for i, v in zip(idx, vals):
                 out[i] = v
         return out  # type: ignore[return-value]
+
+    def _kernel(self, sub: pa.Array, kind: str) -> list[str]:
+        if kind == "html":
+            # 9 whole-doc strip passes vectorized; per-block scoring per row
+            return extract_main_html_array(sub).to_pylist()
+        if kind == "pdf":
+            return flatten_pdf_array(sub).to_pylist()
+        if kind == "json":
+            return [extract_json_content(t) for t in sub.to_pylist()]
+        return sub.to_pylist()  # "", "text", unknown → passthrough
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raw = self._extract(batch[self.text_col], batch[self.tool_col])
@@ -126,6 +150,10 @@ class ExtractorActor:
             out_len = pc.cast(pc.utf8_length(out_arr), pa.int64())
             batch = batch.append_column("raw_chars", raw_len)
             batch = batch.append_column("extracted_chars", out_len)
+        if self.quarantine:
+            batch = batch.append_column(
+                "extract_error", pa.array(self._errors, pa.string())
+            )
         if self.drop_payload:
             batch = batch.drop_columns([self.text_col])
         return batch

@@ -124,3 +124,36 @@ def test_verify_detects_mismatch(ray_session):
         ]
     )
     assert verify_against_expected(ex, gold) == 2
+
+
+def test_quarantine_isolates_poison_rows():
+    import pyarrow as pa
+
+    from manga_ocr_ray.stages.extractor import ExtractorActor
+
+    class Poisoned(ExtractorActor):
+        def _kernel(self, sub, kind):
+            vals = sub.to_pylist()
+            if kind == "html" and any("BOOM" in (t or "") for t in vals):
+                raise RuntimeError("kernel exploded")
+            return super()._kernel(sub, kind)
+
+    batch = pa.table({
+        "conv_id": ["c"] * 3,
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "text": ["<p>fine one</p>", "<p>BOOM</p>", "<p>fine two</p>"],
+        "tool": ["html"] * 3,
+    })
+    out = Poisoned(quarantine=True, emit_metrics=False, normalize=False)(batch)
+    rows = {r["turn_idx"]: r for r in out.to_pylist()}
+    assert rows[0]["extracted_text"] == "fine one"
+    assert rows[2]["extracted_text"] == "fine two"
+    assert rows[1]["extracted_text"] == ""  # quarantined, not dropped
+    assert "RuntimeError" in rows[1]["extract_error"]
+    assert rows[0]["extract_error"] is None
+
+    # without quarantine the group error propagates (fail-fast default)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        Poisoned(quarantine=False, emit_metrics=False, normalize=False)(batch)
