@@ -128,6 +128,12 @@ def _q_doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return pairs[["id_a", "id_b"]].astype("int64")
 
 
+def _lang_id_sql() -> str:
+    from manga_ocr_ray.functions.textstats import lang_id_sql
+
+    return f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
+
+
 def _minhash_pair_sql() -> str:
     from manga_ocr_ray.pipelines.documents import Q_DOC_MINHASH_PAIR_SQL
 
@@ -299,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_flatten_pdf": D.q_doc_flatten_pdf_sql(),
         "doc_quality": D.Q_DOC_QUALITY_SQL,
         "doc_exact_dedup": D.Q_DOC_EXACT_DEDUP_SQL,
+        "doc_lang_id": _lang_id_sql(),
         "doc_minhash_dedup": _minhash_pair_sql(),
         "doc_ngram_jaccard": _minhash_pair_sql().replace(">= 0.8", ">= 0.15"),
         "doc_minhash_keep": D.q_doc_minhash_keep_sql(),

@@ -1,0 +1,100 @@
+"""CLI entry point — the reference's console script surface
+(/root/reference/pyproject.toml:68 → manga_ocr/__main__.py:6-15, fire.Fire)
+recast for batch extraction:
+
+    python -m manga_ocr_ray extract --input DIR_OR_GLOB --out DIR [--fingerprint F]
+    python -m manga_ocr_ray verify  --out DIR --expected PARQUET
+    python -m manga_ocr_ray merge   --out DIR --dest PARQUET_DIR
+
+``extract`` is resume-aware: rerunning with the same ``--fingerprint`` skips
+finished buckets (the hardened analog of the reference's package-granular
+rerun, run_generate.py:126-146).  Owns its Ray session (guarded init), unlike
+the driver-contract module.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="manga_ocr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="run the extraction pipeline, resumable")
+    pe.add_argument("--input", required=True, help="parquet path/dir of transcripts")
+    pe.add_argument("--out", required=True, help="output root (data/ + _manifests/)")
+    pe.add_argument("--fingerprint", default="v1",
+                    help="input+rules fingerprint; changing it reprocesses everything")
+    pe.add_argument("--num-buckets", type=int, default=64)
+    pe.add_argument("--batch-size", type=int, default=None)
+    pe.add_argument("--concurrency", type=int, default=None)
+    pe.add_argument("--num-cpus", type=int, default=None)
+    pe.add_argument("--quarantine", action="store_true",
+                    help="tag failing rows with extract_error instead of failing")
+
+    pv = sub.add_parser("verify", help="per-turn golden equality check")
+    pv.add_argument("--out", required=True)
+    pv.add_argument("--expected", required=True)
+    pv.add_argument("--num-cpus", type=int, default=None)
+
+    pm = sub.add_parser("merge", help="ordered per-conversation merge")
+    pm.add_argument("--out", required=True)
+    pm.add_argument("--dest", required=True)
+    pm.add_argument("--chunk-size", type=int, default=10_000)
+    pm.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+    _ray_init(args.num_cpus)
+    import ray
+    import ray.data as rd
+
+    from .pipelines.extract import (
+        conversation_merge,
+        read_transcripts,
+        run_extraction,
+        verify_against_expected,
+    )
+    from .state import manifest as mf
+
+    try:
+        if args.cmd == "extract":
+            res = run_extraction(
+                read_transcripts(args.input), args.out,
+                fingerprint=args.fingerprint, num_buckets=args.num_buckets,
+                batch_size=args.batch_size, concurrency=args.concurrency,
+                quarantine=args.quarantine,
+            )
+            print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
+                              for k, v in res.items()}))
+        elif args.cmd == "verify":
+            mismatches = verify_against_expected(
+                rd.read_parquet(mf.data_dir(args.out)), rd.read_parquet(args.expected)
+            )
+            print(json.dumps({"mismatches": mismatches}))
+            return 0 if mismatches == 0 else 1
+        elif args.cmd == "merge":
+            merged = conversation_merge(
+                rd.read_parquet(mf.data_dir(args.out)), chunk_size=args.chunk_size
+            )
+            merged.write_parquet(args.dest)
+            print(json.dumps({"conversations": merged.count()}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

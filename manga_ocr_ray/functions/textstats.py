@@ -139,3 +139,34 @@ def fingerprint_batch(texts: list[str], num_hashes: int = 4, shingle: int = 8) -
 def fingerprint_map_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fps = fingerprint_batch(batch[text_col].fill_null("").to_pylist())
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
+
+
+def lang_id_sql(expr: str = "text") -> str:
+    """DuckDB SQL expression replicating :func:`lang_id` exactly.
+
+    CJK codepoint-fraction votes in the same order (ja → ko → zh), then
+    stopword argmax over the same lists with first-in-dict-order winning
+    ties, then the ascii→'en' fallback."""
+    n = f"greatest(length({expr}), 1)"
+    kana = f"len(regexp_extract_all({expr}, '[\\x{{3040}}-\\x{{30ff}}\\x{{ff66}}-\\x{{ff9f}}]'))"
+    han = f"len(regexp_extract_all({expr}, '[\\x{{4e00}}-\\x{{9fff}}]'))"
+    hangul = f"len(regexp_extract_all({expr}, '[\\x{{ac00}}-\\x{{d7a3}}]'))"
+    ws = f"regexp_extract_all(lower({expr}), '[\\p{{L}}]+')"
+    scores = {}
+    for lang, stops in _LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in stops)
+        scores[lang] = f"len(list_filter({ws}, w -> list_contains([{lst}], w)))"
+    s = scores
+    all_ascii = f"len(list_filter({ws}, w -> regexp_matches(w, '^[\\x00-\\x7f]+$'))) = len({ws})"
+    return f"""CASE
+  WHEN {kana} * 1.0 / {n} > 0.05 THEN 'ja'
+  WHEN {hangul} * 1.0 / {n} > 0.05 THEN 'ko'
+  WHEN {han} * 1.0 / {n} > 0.05 THEN 'zh'
+  WHEN len({ws}) = 0 THEN 'und'
+  WHEN {s['en']} > 0 AND {s['en']} >= greatest({s['de']}, {s['fr']}, {s['es']}) THEN 'en'
+  WHEN {s['de']} > 0 AND {s['de']} >= greatest({s['fr']}, {s['es']}) THEN 'de'
+  WHEN {s['fr']} > 0 AND {s['fr']} >= {s['es']} THEN 'fr'
+  WHEN {s['es']} > 0 THEN 'es'
+  WHEN {all_ascii} THEN 'en'
+  ELSE 'und'
+END"""

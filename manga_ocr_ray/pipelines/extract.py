@@ -51,6 +51,7 @@ def extract_turns(
     concurrency: int | tuple[int, int] | None = None,
     num_buckets: int = 64,
     skip_buckets: set[int] | None = None,
+    quarantine: bool = False,
 ) -> rd.Dataset:
     """The extraction stage graph (lazy).  No shuffle.
 
@@ -81,12 +82,14 @@ def extract_turns(
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractorActor,
+        fn_constructor_kwargs={"quarantine": quarantine},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
-    return ds.select_columns(OUTPUT_COLUMNS)
+    cols = OUTPUT_COLUMNS + (["extract_error"] if quarantine else [])
+    return ds.select_columns(cols)
 
 
 def run_extraction(
@@ -97,6 +100,7 @@ def run_extraction(
     num_buckets: int = 64,
     batch_size: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    quarantine: bool = False,
 ) -> dict[str, Any]:
     """Resume-aware end-to-end run: extract missing buckets, write partitioned
     parquet, commit per-bucket manifests with lineage metrics."""
@@ -108,6 +112,7 @@ def run_extraction(
         concurrency=concurrency,
         num_buckets=num_buckets,
         skip_buckets=done,
+        quarantine=quarantine,
     )
     ds.write_parquet(mf.data_dir(out_dir), partition_cols=["bucket"])
 

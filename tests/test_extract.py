@@ -157,3 +157,14 @@ def test_quarantine_isolates_poison_rows():
 
     with pytest.raises(RuntimeError):
         Poisoned(quarantine=False, emit_metrics=False, normalize=False)(batch)
+
+
+def test_extract_turns_quarantine_column(ray_session):
+    from manga_ocr_ray.corpus import transcripts_dataset
+    from manga_ocr_ray.pipelines.extract import extract_turns
+
+    ds = extract_turns(transcripts_dataset(10, seed=3), num_buckets=4,
+                       concurrency=1, quarantine=True)
+    t = ds.to_pandas()
+    assert "extract_error" in t.columns
+    assert t["extract_error"].isna().all()  # healthy corpus → no quarantined rows
