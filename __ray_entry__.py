@@ -173,7 +173,7 @@ def _q_doc_lang_id(sf_dir: str):
     from manga_ocr_ray.functions.textstats import LangIdStage
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2).select_columns(
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 2)).select_columns(
         ["doc_id", "lang_pred"]
     )
 
@@ -219,7 +219,7 @@ def _q_media_features(sf_dir: str):
 
     n = max(64, int(6400 * _sf_of(sf_dir)))
     ds = rd.from_arrow(make_fake_media_table(n)).repartition(max(2, n // 64))
-    return media_feature_pipeline(ds, concurrency=2, batch_size=64)
+    return media_feature_pipeline(ds, concurrency=(1, 2), batch_size=64)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

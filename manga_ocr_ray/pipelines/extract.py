@@ -87,6 +87,10 @@ def extract_turns(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        # fault tolerance on a multi-node cluster: a lost worker/node restarts
+        # the actor and replays its in-flight tasks (SURVEY §4.2 retries row)
+        max_restarts=4,
+        max_task_retries=4,
     )
     cols = OUTPUT_COLUMNS + (["extract_error"] if quarantine else [])
     return ds.select_columns(cols)

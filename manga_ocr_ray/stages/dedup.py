@@ -175,7 +175,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
 ) -> pd.DataFrame:
     """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
