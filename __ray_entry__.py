@@ -222,6 +222,22 @@ def _q_media_features(sf_dir: str):
     return media_feature_pipeline(ds, concurrency=(1, 2), batch_size=64)
 
 
+def _q_media_frames(sf_dir: str):
+    """Frame-sample fan-out: one row per sampled frame of each fake video
+    payload (rows-only: binary payloads have no SQL analog)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from manga_ocr_ray.stages.media import frame_sample_pipeline, make_fake_media_table
+
+    n = max(32, int(3200 * _sf_of(sf_dir)))
+    t = make_fake_media_table(n)
+    t = t.set_column(t.column_names.index("duration_ms"), "duration_ms",
+                     pa.array(np.full(n, 4000, dtype=np.int32), pa.int32()))
+    ds = rd.from_arrow(t).repartition(max(2, n // 32))
+    return frame_sample_pipeline(ds, every_ms=1000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
@@ -268,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_ivf_topk": _q_embedding_ivf_topk,
         # multimodal plumbing (stubbed codec, real actor-pool pipeline)
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         # flagship transcript pipelines (golden-tested; rows-only here)
         "transcript_extract": _q_transcript_extract,
         "transcript_merge": _q_transcript_merge,

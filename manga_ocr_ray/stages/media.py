@@ -132,3 +132,48 @@ def make_fake_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         "duration_ms": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class FrameSampleActor:
+    """Actor-pool stage: video payload → one row per sampled frame (a
+    flat_map over batches; the per-record fan-out of the reference's page →
+    crops explosion, process_manga109s.py:163-180, on binary payloads)."""
+
+    def __init__(self, fake_codec: bool = True, every_ms: int = 1000):
+        self.codec = Codec(fake=fake_codec)
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        idxs: list[int] = []
+        frames: list[bytes] = []
+        errors: list[str | None] = []
+        for mid, payload, dur in zip(batch["media_id"].to_pylist(),
+                                     batch["payload"].to_pylist(),
+                                     batch["duration_ms"].to_pylist()):
+            try:
+                fs = self.codec.sample_frames(payload or b"", dur or 0, self.every_ms)
+                for i, f in enumerate(fs):
+                    ids.append(mid); idxs.append(i); frames.append(f); errors.append(None)
+            except Exception as exc:  # noqa: BLE001 — quarantine, don't drop
+                ids.append(mid); idxs.append(-1); frames.append(b"")
+                errors.append(f"{type(exc).__name__}: {exc}")
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+            "decode_error": pa.array(errors, pa.string()),
+        })
+
+
+def frame_sample_pipeline(ds, *, every_ms: int = 1000,
+                          concurrency: int | tuple[int, int] = (1, 2),
+                          batch_size: int = 32, fake_codec: bool = True):
+    return ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs=dict(fake_codec=fake_codec, every_ms=every_ms),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

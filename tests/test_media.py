@@ -44,3 +44,19 @@ def test_media_pipeline_ray(ray_session):
     assert len(out) == 64
     assert out["decode_error"].isna().all()
     assert all(len(f) == 32 for f in out["features"])
+
+
+def test_frame_sample_pipeline(ray_session):
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.media import frame_sample_pipeline, make_fake_media_table
+
+    t = make_fake_media_table(8, seed=9)
+    t = t.set_column(t.column_names.index("duration_ms"), "duration_ms",
+                     __import__("pyarrow").array([5000] * 8, __import__("pyarrow").int32()))
+    out = frame_sample_pipeline(rd.from_arrow(t), every_ms=1000).to_pandas()
+    # 5000ms / 1000ms → 5 frames per video
+    assert len(out) == 40
+    assert out["decode_error"].isna().all()
+    assert set(out["frame_idx"]) == {0, 1, 2, 3, 4}
+    assert (out.groupby("media_id").size() == 5).all()
