@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": R.q_customers_no_orders,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "event_types": R.q_event_types,
+        "events_moving_avg": R.q_events_moving_avg,
+        "orders_price_quantiles": R.q_orders_price_quantiles,
         # extraction / normalization kernels ([core] M1, S3, M6/M7 analogs)
         "doc_normalize": D.q_doc_normalize,
         "doc_strip_html": D.q_doc_strip_html,
@@ -314,6 +316,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": R.Q_CUSTOMERS_NO_ORDERS_SQL,
         "suppliers_with_bigparts": R.Q_SUPPLIERS_WITH_BIGPARTS_SQL,
         "event_types": R.Q_EVENT_TYPES_SQL,
+        "events_moving_avg": R.Q_EVENTS_MOVING_AVG_SQL,
+        "orders_price_quantiles": R.Q_ORDERS_PRICE_QUANTILES_SQL,
         "doc_token_count": D.Q_DOC_TOKEN_COUNT_SQL,
         "doc_tokens": D.Q_DOC_TOKENS_SQL,
         "registry_clean": _registry_clean_sql(),

@@ -547,3 +547,59 @@ def q_event_types(sf_dir: str) -> rd.Dataset:
 
 
 Q_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# ---- rolling window: per-user moving average -------------------------------
+
+def q_events_moving_avg(sf_dir: str) -> rd.Dataset:
+    """3-event moving average of ``value`` per user in (ts, event_id) order —
+    the bounded-window analog of the running aggregate."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "moving_avg": g["value"].rolling(window=3, min_periods=1).mean(),
+        })
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+Q_EVENTS_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+FROM events
+"""
+
+
+# ---- grouped quantiles ------------------------------------------------------
+
+def q_orders_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact p25/median/p75 of order totalprice per priority — per-group
+    numpy quantiles after ONE hash partition (groups fit comfortably; at
+    10^12 rows this becomes a t-digest partial + merge, the HLL pattern)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].to_numpy()
+        q25, q50, q75 = np.quantile(v, [0.25, 0.5, 0.75])
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "p25": [q25], "median": [q50], "p75": [q75],
+        })
+
+    return ds.groupby("o_orderpriority").map_groups(quant, batch_format="pandas")
+
+
+Q_ORDERS_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS median,
+       quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders GROUP BY o_orderpriority
+"""

@@ -1,0 +1,55 @@
+"""Property-based conformance: batched kernels == scalar reference on
+arbitrary inputs (the reference repo has no property tests — SURVEY §5.7
+notes the gap; hypothesis closes it for the [core] kernels)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from manga_ocr_ray.functions.hashing import hash64_bytes_numpy
+from manga_ocr_ray.functions.normalize import normalize_array, normalize_texts, post_process
+
+# text including whitespace variants, half-width forms, CJK, dots/ellipsis
+_texts = st.lists(
+    st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            st.sampled_from(list("　 　\t\n・.…ｱｶﾞｳﾞ０ａあ漢ー")),
+        ),
+        max_size=40,
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts)
+def test_normalize_batch_equals_scalar(texts):
+    assert normalize_texts(texts) == [post_process(t) for t in texts]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_texts)
+def test_normalize_array_preserves_nulls(texts):
+    arr = pa.array(texts + [None], pa.string())
+    out = normalize_array(arr).to_pylist()
+    assert out[-1] is None
+    assert out[:-1] == [post_process(t) for t in texts]
+
+
+def _fnv1a_ref(b: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.binary(max_size=24), max_size=10))
+def test_hash64_matches_scalar_fnv(blobs):
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    offsets = np.cumsum([0] + [len(b) for b in blobs]).astype(np.int64)
+    got = hash64_bytes_numpy(data, offsets)
+    want = [_fnv1a_ref(b) for b in blobs]
+    assert got.tolist() == want
