@@ -168,6 +168,18 @@ def _q_events_approx_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_users": [approx_distinct(ds, "user_id")]})
 
 
+def _q_orders_quantiles_approx(sf_dir: str) -> pd.DataFrame:
+    """Histogram-sketch quantiles of order totalprice (rows-only: approx;
+    accuracy pinned by tests/test_metrics_sketch.py; exact twin =
+    orders_price_quantiles)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.sketch import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    out = approx_quantiles(ds, "o_totalprice", (0.25, 0.5, 0.75))
+    return pd.DataFrame({"p25": [out[0.25]], "median": [out[0.5]], "p75": [out[0.75]]})
+
+
 def _q_doc_lang_id(sf_dir: str):
     import ray.data as rd
     from manga_ocr_ray.functions.textstats import LangIdStage
@@ -279,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_keep": D.q_doc_minhash_keep,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "events_approx_users": _q_events_approx_users,
+        "orders_quantiles_approx": _q_orders_quantiles_approx,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_lang_id": _q_doc_lang_id,
         "embedding_topk": _q_embedding_topk,

@@ -86,3 +86,70 @@ def approx_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
     for blob in parts["regs"]:
         np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
     return hll_estimate(merged)
+
+
+# ---- mergeable quantile sketch (fixed-bin histogram) -----------------------
+
+def histogram_partial(values: np.ndarray, lo: float, hi: float,
+                      bins: int = 2048) -> np.ndarray:
+    """int64[bins+2] counts: [underflow, bins..., overflow] for one batch."""
+    counts = np.zeros(bins + 2, dtype=np.int64)
+    if values.size == 0:
+        return counts
+    idx = np.floor((values - lo) / max(hi - lo, 1e-300) * bins).astype(np.int64)
+    idx = np.clip(idx + 1, 0, bins + 1)
+    idx[values < lo] = 0
+    idx[values >= hi] = bins + 1
+    np.add.at(counts, idx, 1)
+    return counts
+
+
+def histogram_quantile(counts: np.ndarray, lo: float, hi: float,
+                       q: float) -> float:
+    """Quantile estimate from merged counts (linear within the hit bin)."""
+    bins = counts.size - 2
+    total = int(counts.sum())
+    if total == 0:
+        return float("nan")
+    target = q * (total - 1)
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, target + 1))
+    if b == 0:
+        return lo
+    if b >= bins + 1:
+        return hi
+    prev = cum[b - 1]
+    within = (target - prev + 1) / max(counts[b], 1)
+    width = (hi - lo) / bins
+    return lo + (b - 1 + min(within, 1.0)) * width
+
+
+def approx_quantiles(ds: rd.Dataset, column: str, qs: tuple[float, ...] = (0.5,),
+                     bins: int = 2048) -> dict[float, float]:
+    """Distributed approximate quantiles: one cheap min/max pass, then
+    per-block histogram partials merged by elementwise sum — the same
+    partial+merge shape as the HLL sketch, bounded error (hi-lo)/bins.  At
+    10^12 rows this replaces the per-group exact numpy quantile path."""
+    stats = ds.aggregate(
+        *(a for a in _minmax_aggs(column))
+    )
+    lo, hi = float(stats[f"min({column})"]), float(stats[f"max({column})"])
+    if hi <= lo:
+        return {q: lo for q in qs}
+    hi = np.nextafter(hi, np.inf)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t[column].combine_chunks().drop_null().to_numpy()
+        return pd.DataFrame({"h": [histogram_partial(v, lo, hi, bins).tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(bins + 2, dtype=np.int64)
+    for blob in parts["h"]:
+        merged += np.frombuffer(blob, dtype=np.int64)
+    return {q: histogram_quantile(merged, lo, hi, q) for q in qs}
+
+
+def _minmax_aggs(column: str):
+    from ray.data.aggregate import Max, Min
+
+    return (Min(column), Max(column))

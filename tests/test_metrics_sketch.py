@@ -79,3 +79,32 @@ def test_near_dup_cluster_assign(ray_session):
     out = {r["doc_id"]: r["cluster_rep"]
            for r in near_dup_cluster_assign(ds, pairs).take_all()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_approx_quantiles_accuracy(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.sketch import approx_quantiles
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    ds = rd.read_parquet(path, columns=["o_totalprice"])
+    got = approx_quantiles(ds, "o_totalprice", (0.25, 0.5, 0.75))
+    want = duckdb.sql(
+        f"select quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) from '{path}'"
+    ).fetchone()[0]
+    for (q, g), w in zip(sorted(got.items()), want):
+        assert abs(g - w) / abs(w) < 0.02, (q, g, w)
+
+
+def test_histogram_merge_associative():
+    from manga_ocr_ray.stages.sketch import histogram_partial, histogram_quantile
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(100, 15, size=20_000)
+    lo, hi = v.min(), np.nextafter(v.max(), np.inf)
+    whole = histogram_partial(v, lo, hi)
+    parts = histogram_partial(v[:7000], lo, hi) + histogram_partial(v[7000:], lo, hi)
+    assert (whole == parts).all()
+    med = histogram_quantile(whole, lo, hi, 0.5)
+    assert abs(med - np.quantile(v, 0.5)) < (hi - lo) / 2048 * 2
