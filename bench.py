@@ -104,6 +104,7 @@ def run_queries() -> dict[str, float]:
         "doc_normalize", "doc_strip_html", "doc_quality",
         "doc_minhash_dedup", "doc_exact_dedup",
         "embedding_topk", "embedding_near_dup",
+        "transcript_merge", "orders_price_quantiles",
     ]
     out: dict[str, float] = {}
     for name in chosen:
@@ -160,6 +161,9 @@ def scaling() -> None:
     results = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        # best-of-3 for the scaling evidence unless the caller pinned reps —
+        # host noise must not decide the efficiency ratio
+        env.setdefault("GRAFT_BENCH_REPS", "3")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
