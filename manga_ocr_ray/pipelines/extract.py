@@ -109,6 +109,22 @@ def run_extraction(
     """Resume-aware end-to-end run: extract missing buckets, write partitioned
     parquet, commit per-bucket manifests with lineage metrics."""
     done = mf.done_buckets(out_dir, fingerprint)
+    # crash-window repair: a bucket with data files but NO committed manifest
+    # (killed between write and commit) must be REWRITTEN, not appended to —
+    # clear any existing data for buckets we are about to reprocess.
+    import os
+    import shutil
+
+    ddir = mf.data_dir(out_dir)
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            if name.startswith("bucket="):
+                try:
+                    b = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if b not in done:
+                    shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
     t0 = time.perf_counter()
     ds = extract_turns(
         source,

@@ -105,6 +105,20 @@ def test_extraction_pipeline_ray(ray_session, tmp_path):
     mega = merged.set_index("conv_id")["n_turns"]["conv_00000000"]
     assert mega == 60  # mega-conv crossed chunk boundaries and survived
 
+    # deleting ONE bucket's manifest reprocesses exactly that bucket — and
+    # rewrites (not appends) its data files, covering the crash window
+    # between a bucket write and its manifest commit
+    import os
+
+    victim = ms[0]["bucket"]
+    victim_rows = ms[0]["rows"]
+    os.remove(os.path.join(out_dir, "_manifests", f"bucket={victim}.json"))
+    res3 = run_extraction(read_transcripts(str(src)), out_dir, fingerprint="fp1", num_buckets=8)
+    assert res3["skipped_buckets"] == len(ms) - 1
+    assert res3["new_rows"] == victim_rows
+    assert rd.read_parquet(mf.data_dir(out_dir)).count() == t.num_rows  # no dupes
+    assert verify_against_expected(rd.read_parquet(mf.data_dir(out_dir)), gold) == 0
+
 
 def test_verify_detects_mismatch(ray_session):
     import ray.data as rd
