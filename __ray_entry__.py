@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": D.q_doc_token_count,
         "doc_tokens": D.q_doc_tokens,
         "registry_clean": _q_registry_clean,
+        "doc_top_tokens": D.q_doc_top_tokens,
         # training-data operators
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_minhash_keep": D.q_doc_minhash_keep,
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": D.Q_DOC_TOKEN_COUNT_SQL,
         "doc_tokens": D.Q_DOC_TOKENS_SQL,
         "registry_clean": _registry_clean_sql(),
+        "doc_top_tokens": D.Q_DOC_TOP_TOKENS_SQL,
         "doc_normalize": D.Q_DOC_NORMALIZE_SQL,
         "doc_strip_html": D.q_doc_strip_html_sql(),
         "doc_flatten_pdf": D.q_doc_flatten_pdf_sql(),

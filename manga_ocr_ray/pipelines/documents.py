@@ -264,3 +264,24 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
 """
+
+
+# ---- token frequency: explode → groupby → top-k ----------------------------
+
+def q_doc_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide 20 most frequent tokens — the wordcount composition
+    (vectorized explode → map-side-combining groupby → sort+limit)."""
+    from ray.data.aggregate import Count
+
+    tokens = q_doc_tokens(sf_dir).select_columns(["token"])
+    counts = tokens.groupby("token").aggregate(Count(alias_name="n"))
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(20).to_pandas()
+    return top[["token", "n"]]
+
+
+Q_DOC_TOP_TOKENS_SQL = """
+WITH toks AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+              FROM documents)
+SELECT token, count(*) AS n FROM toks
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
