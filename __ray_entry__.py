@@ -180,6 +180,27 @@ def _q_orders_quantiles_approx(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"p25": [out[0.25]], "median": [out[0.5]], "p75": [out[0.75]]})
 
 
+def _q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding as (label, dim, centroid) scalar rows —
+    vector aggregation where only scalar partials shuffle."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import label_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return label_centroids(ds)
+
+
+_Q_EMBEDDING_CENTROIDS_SQL = """
+WITH ex AS (SELECT label,
+                   unnest(list_transform(generate_series(1, len(embedding)), i -> i - 1)) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS value
+            FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, dim, avg(value) AS centroid
+FROM ex GROUP BY label, dim
+"""
+
+
 def _q_doc_lang_id(sf_dir: str):
     import ray.data as rd
     from manga_ocr_ray.functions.textstats import LangIdStage
@@ -298,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_ivf_topk": _q_embedding_ivf_topk,
+        "embedding_centroids": _q_embedding_centroids,
         # multimodal plumbing (stubbed codec, real actor-pool pipeline)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -347,4 +369,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_keep": D.q_doc_minhash_keep_sql(),
         "embedding_topk": _Q_EMBEDDING_TOPK_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
+        "embedding_centroids": _Q_EMBEDDING_CENTROIDS_SQL,
     }

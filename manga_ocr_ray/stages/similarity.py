@@ -288,3 +288,34 @@ def lsh_near_dup_pairs(
                              "cosine": pd.Series([], dtype="float64")})
     out = out.drop_duplicates(subset=["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def label_centroids(ds: rd.Dataset, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", label_col: str = "label") -> rd.Dataset:
+    """Per-label mean embedding, one output row per (label, dim).
+
+    Vector-column aggregation without a wide shuffle of vectors: each batch
+    explodes to (label, dim, value) scalar rows (zero-copy numpy reshape),
+    then Ray's map-side-combining groupby averages — only scalar partials
+    cross the wire.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Mean
+
+    def explode(t: pa.Table) -> pa.Table:
+        mat = _mat(t[vec_col])
+        n, d = mat.shape
+        labels = np.repeat(
+            t[label_col].combine_chunks().to_numpy(zero_copy_only=False), d
+        )
+        return pa.table({
+            "label": pa.array(labels.astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "value": pa.array(mat.ravel().astype(np.float64)),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Mean("value", alias_name="centroid"))
+    )
