@@ -224,47 +224,65 @@ def conversation_merge(
     text_col: str = "extracted_text",
     chunk_size: int = 10_000,
     sep: str = "\n",
+    num_shards: int | None = None,
 ) -> rd.Dataset:
     """Concatenate each conversation's turns in ``turn_idx`` order.
 
-    Two-stage groupby so one mega-conversation cannot overwhelm a single
-    group task (the salting pattern of SURVEY §7.4): stage 1 groups on the
-    SALTED key ``(conv_id, turn_idx // chunk_size)`` and merges each chunk in
-    turn order; stage 2 groups the (tiny) chunk rows on ``conv_id`` and
-    merges chunks in chunk order.  Result: (conv_id, merged_text, n_turns).
+    Two-stage SHARDED merge (SURVEY §7.4 salting + the shard-vectorization
+    trick from dedup): grouping per conversation would pay Ray's per-group
+    task overhead ~10^6-10^12 times, so both stages group on a SHARD key
+    (~thousands of groups) and merge all of a shard's conversations in one
+    vectorized pandas pass.  Stage 1 shards on hash(conv_id, turn_idx //
+    chunk_size) — a mega-conversation's chunks spread across shards — and
+    joins each chunk's turns in turn order; stage 2 shards on hash(conv_id)
+    and joins the (tiny) chunk parts in chunk order.
+    Result: (conv_id, merged_text, n_turns).
     """
+    from ..functions.hashing import hash64_array
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        chunk = pa.array(
-            (t["turn_idx"].combine_chunks().to_numpy() // chunk_size).astype(np.int32)
-        )
-        return t.append_column("chunk", chunk)
+    if num_shards is None:
+        import ray
 
-    def merge_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "chunk": [g["chunk"].iloc[0]],
-                "part": [sep.join(g[text_col].astype(str))],
-                "n": [len(g)],
-            }
-        )
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_shards = max(32, cpus * 8)
+    S = np.uint64(num_shards)
 
-    def merge_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("chunk")
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "merged_text": [sep.join(g["part"])],
-                "n_turns": [int(g["n"].sum())],
-            }
+    def add_keys(t: pa.Table) -> pa.Table:
+        chunk = (t["turn_idx"].combine_chunks().to_numpy() // chunk_size).astype(np.int64)
+        h = hash64_array(t["conv_id"])
+        shard = ((h + chunk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % S).astype(np.int32)
+        t = t.append_column("chunk", pa.array(chunk.astype(np.int32)))
+        return t.append_column("shard", pa.array(shard))
+
+    def merge_chunks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "chunk", "turn_idx"])
+        out = (
+            g.groupby(["conv_id", "chunk"], sort=False)[text_col]
+            .agg([("part", sep.join), ("n", "size")])
+            .reset_index()
         )
+        return out
+
+    def add_shard2(t: pa.Table) -> pa.Table:
+        shard2 = (hash64_array(t["conv_id"]) % S).astype(np.int32)
+        return t.append_column("shard2", pa.array(shard2))
+
+    def merge_convs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "chunk"])
+        gg = g.groupby("conv_id", sort=False).agg(
+            merged_text=("part", sep.join), n_turns=("n", "sum")
+        )
+        gg["n_turns"] = gg["n_turns"].astype("int64")
+        return gg.reset_index()
 
     chunks = (
         extracted.select_columns(["conv_id", "turn_idx", text_col])
-        .map_batches(add_salt, batch_format="pyarrow")
-        .groupby(["conv_id", "chunk"])
-        .map_groups(merge_chunk, batch_format="pandas")
+        .map_batches(add_keys, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge_chunks, batch_format="pandas")
     )
-    return chunks.groupby("conv_id").map_groups(merge_conv, batch_format="pandas")
+    return (
+        chunks.map_batches(add_shard2, batch_format="pyarrow")
+        .groupby("shard2")
+        .map_groups(merge_convs, batch_format="pandas")
+    )
