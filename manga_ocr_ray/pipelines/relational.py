@@ -265,26 +265,50 @@ FROM events GROUP BY event_type
 """
 
 
+
+def _default_shards() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(32, cpus * 8)
+
+
+def _shard_by_int(ds: rd.Dataset, key_col: str, num_shards: int | None = None) -> rd.Dataset:
+    """Add a hash-shard column over an int64 key: per-ENTITY grouping pays
+    Ray's per-group task overhead once per entity; grouping by shard and
+    vectorizing across a shard's entities in pandas amortizes it ~1000x
+    (same trick as conversation_merge / dedup bucket shards)."""
+    from ..functions.hashing import mix64
+
+    S = np.uint64(num_shards or _default_shards())
+
+    def add(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().to_numpy().astype(np.uint64)
+        return t.append_column("shard", pa.array((mix64(k) % S).astype(np.int32)))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 # ---- sessionization (gap-based windows over an ordered log) ----------------
 
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap from the
-    previous event exceeds ``gap_minutes``.  groupby(user).map_groups over
-    ts-sorted groups — the documented Ray Data pattern for stream-shaped
-    semantics (ordering contract stated: within-user ts order)."""
+    previous event exceeds ``gap_minutes``.  Hash-shard groupby + one
+    vectorized pandas pass per shard (per-user tasks would pay Ray's
+    per-group overhead once per user; ordering contract: within-user ts
+    order, enforced by the in-shard sort)."""
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_sess = (g["ts"].diff() > gap).cumsum()
-        n_sessions = int(new_sess.iloc[-1]) + 1 if len(g) else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
-             "n_events": [len(g)]}
-        )
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_sess = (g.groupby("user_id")["ts"].diff() > gap).astype("int64")
+        out = pd.DataFrame({"user_id": g["user_id"], "new_sess": new_sess})
+        agg = out.groupby("user_id", sort=False).agg(
+            n_sessions=("new_sess", "sum"), n_events=("new_sess", "size"))
+        agg["n_sessions"] += 1
+        return agg.reset_index()
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        sessionize, batch_format="pandas")
 
 
 Q_EVENTS_SESSIONS_SQL = """
@@ -388,32 +412,38 @@ def q_events_asof_signup(sf_dir: str) -> rd.Dataset:
     """As-of join: each purchase event matched to the user's most recent
     signup event at-or-before its timestamp.
 
-    Implementation: hash-partition by user via ONE groupby(user_id), then a
-    ts-sorted ``pd.merge_asof`` per group — the documented composition for
-    as-of/range joins (partitioning assumption: one user's events fit one
-    group; salting by time range would relax this for pathological users).
+    Implementation: hash-shard on user, then ONE ts-sorted
+    ``pd.merge_asof(by=user)`` per shard — the composition for as-of/range
+    joins with per-group overhead amortized across a shard's users
+    (partitioning assumption: one user's events fit one shard; salting by
+    time range would relax this for pathological users).
     """
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["event_id", "user_id", "event_type", "ts"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        buys = g[g.event_type == "purchase"].sort_values(["ts", "event_id"])
-        signups = g[g.event_type == "signup"].sort_values(["ts", "event_id"])
+        # merge_asof(by=user) vectorizes the per-user as-of across the whole
+        # shard; mergesort keeps ties resolving to max signup event_id
+        buys = g[g.event_type == "purchase"].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        signups = g[g.event_type == "signup"].sort_values(
+            ["ts", "event_id"], kind="mergesort")
         if buys.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "user_id": pd.Series([], dtype="int64"),
                                  "signup_event_id": pd.Series([], dtype="int64")})
-        # keep the LAST signup per ts so ties resolve to max event_id
         merged = pd.merge_asof(
             buys[["event_id", "user_id", "ts"]],
-            signups[["event_id", "ts"]].rename(columns={"event_id": "signup_event_id"}),
-            on="ts", direction="backward", allow_exact_matches=True,
+            signups[["event_id", "user_id", "ts"]].rename(
+                columns={"event_id": "signup_event_id"}),
+            on="ts", by="user_id", direction="backward", allow_exact_matches=True,
         )
         merged = merged.dropna(subset=["signup_event_id"])
         return merged[["event_id", "user_id", "signup_event_id"]].astype(
             {"signup_event_id": "int64"})
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        asof, batch_format="pandas")
 
 
 Q_EVENTS_ASOF_SQL = """
@@ -436,14 +466,15 @@ def q_events_cumulative(sf_dir: str) -> rd.Dataset:
                          columns=["event_id", "user_id", "ts", "value"])
 
     def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         return pd.DataFrame({
             "event_id": g["event_id"],
             "user_id": g["user_id"],
-            "running_value": g["value"].cumsum(),
+            "running_value": g.groupby("user_id", sort=False)["value"].cumsum(),
         })
 
-    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        cum, batch_format="pandas")
 
 
 Q_EVENTS_CUMULATIVE_SQL = """
@@ -558,14 +589,18 @@ def q_events_moving_avg(sf_dir: str) -> rd.Dataset:
                          columns=["event_id", "user_id", "ts", "value"])
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        mv = (g.groupby("user_id", sort=False)["value"]
+                .rolling(window=3, min_periods=1).mean()
+                .droplevel(0))
         return pd.DataFrame({
             "event_id": g["event_id"],
             "user_id": g["user_id"],
-            "moving_avg": g["value"].rolling(window=3, min_periods=1).mean(),
+            "moving_avg": mv,
         })
 
-    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        roll, batch_format="pandas")
 
 
 Q_EVENTS_MOVING_AVG_SQL = """
