@@ -183,37 +183,29 @@ def verify_against_expected(extracted: rd.Dataset, expected: rd.Dataset) -> int:
     """Distributed count of per-turn mismatches (0 == pass).
 
     Key-based (conv_id, turn_idx) comparison — independent of block order, as
-    required under streaming execution.  Tags each side, unions, groups by
-    turn key: a turn passes iff both sides present and texts equal.
+    required under streaming execution.  FULL OUTER hash join on the turn key
+    (grouping per turn would pay Ray's per-group overhead once per turn —
+    10^12 times at target scale); a turn passes iff both sides are present
+    and texts are equal, and a row-count cross-check catches duplicate keys
+    that pairwise-match each other.
     """
-    ex = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"]).map_batches(
-        lambda t: t.rename_columns(["conv_id", "turn_idx", "txt"]).append_column(
-            "side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
-        ),
-        batch_format="pyarrow",
-    )
-    gold = expected.select_columns(["conv_id", "turn_idx", "expected_text"]).map_batches(
-        lambda t: t.rename_columns(["conv_id", "turn_idx", "txt"]).append_column(
-            "side", pa.array(np.ones(t.num_rows, dtype=np.int8))
-        ),
-        batch_format="pyarrow",
-    )
+    import pyarrow.compute as pc
 
-    def check(g: pd.DataFrame) -> pd.DataFrame:
-        bad = not (
-            len(g) == 2
-            and set(g["side"]) == {0, 1}
-            and g["txt"].iloc[0] == g["txt"].iloc[1]
-        )
-        return pd.DataFrame({"mismatch": [1 if bad else 0]})
+    ex = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"])
+    gold = expected.select_columns(["conv_id", "turn_idx", "expected_text"])
+    joined = ex.join(gold, join_type="full_outer", num_partitions=16,
+                     on=("conv_id", "turn_idx"))
 
-    out = (
-        ex.union(gold)
-        .groupby(["conv_id", "turn_idx"])
-        .map_groups(check, batch_format="pandas")
-        .sum("mismatch")
-    )
-    return int(out or 0)
+    def bad(t: pa.Table) -> pa.Table:
+        mism = pc.fill_null(pc.not_equal(t["extracted_text"], t["expected_text"]), True)
+        n = pc.sum(pc.cast(mism, pa.int64())).as_py() or 0
+        return pa.table({"mismatch": pa.array([n], pa.int64()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    parts = joined.map_batches(bad, batch_format="pyarrow").to_pandas().sum()
+    n_ex, n_gold = ex.count(), gold.count()
+    dup_penalty = abs(n_ex - n_gold) if int(parts.get("rows", 0)) != n_gold else 0
+    return int(parts.get("mismatch", 0)) + dup_penalty
 
 
 # ---- ordered per-conversation merge (skew-safe) ----------------------------
