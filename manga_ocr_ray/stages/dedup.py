@@ -56,13 +56,25 @@ def exact_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
 
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                 text_col: str = "text") -> rd.Dataset:
-    """Keep the min-id row of each distinct content (deterministic winner)."""
+    """Keep the min-id row of each distinct content (deterministic winner).
+
+    Map-side-combining aggregate computes the winner per content hash, then
+    a hash join + vectorized filter keeps only winner rows — no per-group
+    task (one group per DISTINCT document would pay Ray's per-group overhead
+    ~10^12 times at target scale)."""
+    import pyarrow.compute as pc
+
     hashed = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
+    keep = hashed.select_columns(["content_hash", id_col]).groupby("content_hash").aggregate(
+        Min(id_col, alias_name="__keep_id")
+    )
+    joined = hashed.join(keep, join_type="inner", num_partitions=16, on=("content_hash",))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t[id_col], t["__keep_id"]))
+        return t.drop_columns(["__keep_id", "content_hash"])
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return joined.map_batches(flt, batch_format="pyarrow")
 
 
 # ---- shingles + MinHash ----------------------------------------------------
