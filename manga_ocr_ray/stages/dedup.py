@@ -55,7 +55,7 @@ def exact_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
 
 
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
-                text_col: str = "text") -> rd.Dataset:
+                text_col: str = "text", num_partitions: int | None = None) -> rd.Dataset:
     """Keep the min-id row of each distinct content (deterministic winner).
 
     Map-side-combining aggregate computes the winner per content hash, then
@@ -64,11 +64,15 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     ~10^12 times at target scale)."""
     import pyarrow.compute as pc
 
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(8, cpus // 2)
     hashed = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
     keep = hashed.select_columns(["content_hash", id_col]).groupby("content_hash").aggregate(
         Min(id_col, alias_name="__keep_id")
     )
-    joined = hashed.join(keep, join_type="inner", num_partitions=16, on=("content_hash",))
+    joined = hashed.join(keep, join_type="inner", num_partitions=num_partitions,
+                         on=("content_hash",))
 
     def flt(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t[id_col], t["__keep_id"]))
