@@ -87,8 +87,11 @@ def cer_metrics(
 def cer_against_expected(extracted: rd.Dataset, expected: rd.Dataset) -> dict[str, float]:
     """Join extracted vs golden on (conv_id, turn_idx), then CER/accuracy.
     Key-based — independent of block order, like verify_against_expected."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     joined = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"]).join(
         expected.select_columns(["conv_id", "turn_idx", "expected_text"]),
-        join_type="inner", num_partitions=8, on=("conv_id", "turn_idx"),
+        join_type="inner", num_partitions=max(8, cpus // 2), on=("conv_id", "turn_idx"),
     )
     return cer_metrics(joined)

@@ -193,7 +193,10 @@ def verify_against_expected(extracted: rd.Dataset, expected: rd.Dataset) -> int:
 
     ex = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"])
     gold = expected.select_columns(["conv_id", "turn_idx", "expected_text"])
-    joined = ex.join(gold, join_type="full_outer", num_partitions=16,
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    joined = ex.join(gold, join_type="full_outer", num_partitions=max(8, cpus // 2),
                      on=("conv_id", "turn_idx"))
 
     def bad(t: pa.Table) -> pa.Table:

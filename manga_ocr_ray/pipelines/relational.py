@@ -28,6 +28,13 @@ def _pq(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+
+def _join_partitions() -> int:
+    """Hash-join partition count scaled to the cluster (≈CPU/2, floor 8)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(8, cpus // 2)
+
+
 # ---- G3/G1 analog: grouped aggregation with computed measures (TPC-H Q1) ---
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
@@ -390,7 +397,7 @@ def q_order_revenue_join(sf_dir: str) -> rd.Dataset:
         return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
 
     li = li.map_batches(rev, batch_format="pyarrow")
-    joined = orders.join(li, join_type="inner", num_partitions=16,
+    joined = orders.join(li, join_type="inner", num_partitions=_join_partitions(),
                          on=("o_orderkey",), right_on=("l_orderkey",))
     return joined.groupby("o_orderpriority").aggregate(
         Sum("revenue", alias_name="total_revenue"), Count(alias_name="n_items")
@@ -525,7 +532,7 @@ def q_customers_no_orders(sf_dir: str) -> rd.Dataset:
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
     big = orders.filter(expr="o_totalprice > 450000.0").select_columns(["o_custkey"])
-    return cust.join(big, join_type="left_anti", num_partitions=16,
+    return cust.join(big, join_type="left_anti", num_partitions=_join_partitions(),
                      on=("c_custkey",), right_on=("o_custkey",))
 
 
@@ -557,7 +564,7 @@ def q_suppliers_with_bigparts(sf_dir: str) -> rd.Dataset:
         return t.append_column("sk_mod", pa.array((sk % 1000).astype("int64")))
 
     supp2 = supp.map_batches(smod, batch_format="pyarrow")
-    out = supp2.join(probe, join_type="left_semi", num_partitions=8, on=("sk_mod",))
+    out = supp2.join(probe, join_type="left_semi", num_partitions=_join_partitions(), on=("sk_mod",))
     return out.select_columns(["s_suppkey", "s_name", "s_nationkey"])
 
 
