@@ -19,14 +19,18 @@ import json
 import sys
 
 
-def _ray_init(num_cpus: int | None) -> None:
+def _ray_init(num_cpus: int | None) -> bool:
+    """Init Ray if needed; returns True iff WE started it (and so own the
+    shutdown — never tear down a session someone else created)."""
     import ray
 
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
+    if ray.is_initialized():
+        return False
+    kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(address="local", **kwargs)
+    return True
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -57,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
-    _ray_init(args.num_cpus)
+    owns_ray = _ray_init(args.num_cpus)
     import ray
     import ray.data as rd
 
@@ -92,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
             merged.write_parquet(args.dest)
             print(json.dumps({"conversations": merged.count()}))
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
     return 0
 
 
