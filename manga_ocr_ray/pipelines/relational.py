@@ -37,7 +37,20 @@ def _join_partitions() -> int:
 
 # ---- G3/G1 analog: grouped aggregation with computed measures (TPC-H Q1) ---
 
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Lossless double→int64 cents (prices/quantities/discounts in the data
+    are 2-decimal; verified max |x*100 - round(x*100)| < 1e-9)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 with decimal-exact aggregation: float Sum over distributed
+    blocks accumulates in nondeterministic order, so the last bits differ
+    run-to-run and from any oracle.  Summing int64 cents is exact and
+    order-independent; the final division back to dollars is one IEEE op
+    mirrored verbatim in the oracle SQL → bit-identical doubles.
+    (int64 partial sums hold ~9e9 rows/group at these magnitudes; beyond
+    that, split hi/lo words or pre-scale per partition.)"""
     ds = rd.read_parquet(
         _pq(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -46,36 +59,66 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
     def measures(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
+        qty_c = _cents(t["l_quantity"])
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        # price_cents * (100 - disc_cents) = disc_price in 1e-4 dollars, exact
+        dp_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "qty_c": qty_c, "price_c": price_c, "disc_c": disc_c, "dp_e4": dp_e4,
+        })
 
-    out = (
+    agg = (
         ds.map_batches(measures, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("price_c", alias_name="sum_price_c"),
+            Sum("dp_e4", alias_name="sum_dp_e4"),
+            Sum("disc_c", alias_name="sum_disc_c"),
             Count(alias_name="count_order"),
         )
     )
-    return out
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["count_order"].combine_chunks().to_numpy().astype(np.float64)
+        sum_qty_c = t["sum_qty_c"].combine_chunks().to_numpy().astype(np.float64)
+        sum_price_c = t["sum_price_c"].combine_chunks().to_numpy().astype(np.float64)
+        sum_dp_e4 = t["sum_dp_e4"].combine_chunks().to_numpy().astype(np.float64)
+        sum_disc_c = t["sum_disc_c"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": sum_qty_c / 100.0,
+            "sum_base_price": sum_price_c / 100.0,
+            "sum_disc_price": sum_dp_e4 / 10000.0,
+            "avg_qty": sum_qty_c / 100.0 / n,
+            "avg_price": sum_price_c / 100.0 / n,
+            "avg_disc": sum_disc_c / 100.0 / n,
+            "count_order": t["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 Q1_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT)      AS disc_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity)                     AS sum_qty,
-       sum(l_extendedprice)                AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       avg(l_quantity)                     AS avg_qty,
-       avg(l_extendedprice)                AS avg_price,
-       avg(l_discount)                     AS avg_disc,
-       count(*)                            AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       CAST(sum(qty_c) AS DOUBLE) / 100.0                        AS sum_qty,
+       CAST(sum(price_c) AS DOUBLE) / 100.0                      AS sum_base_price,
+       CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0   AS sum_disc_price,
+       CAST(sum(qty_c) AS DOUBLE) / 100.0 / count(*)             AS avg_qty,
+       CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*)           AS avg_price,
+       CAST(sum(disc_c) AS DOUBLE) / 100.0 / count(*)            AS avg_disc,
+       count(*)                                                  AS count_order
+FROM c
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -325,7 +368,8 @@ WITH gaps AS (
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM gaps GROUP BY user_id
 """
 
@@ -393,20 +437,36 @@ def q_order_revenue_join(sf_dir: str) -> rd.Dataset:
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+        # exact int64 revenue in 1e-4 dollars (see q1_pricing_summary): float
+        # Sum order is nondeterministic across blocks, integer Sum is exact
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        r = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": r})
 
     li = li.map_batches(rev, batch_format="pyarrow")
     joined = orders.join(li, join_type="inner", num_partitions=_join_partitions(),
                          on=("o_orderkey",), right_on=("l_orderkey",))
-    return joined.groupby("o_orderpriority").aggregate(
-        Sum("revenue", alias_name="total_revenue"), Count(alias_name="n_items")
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_e4", alias_name="sum_rev_e4"), Count(alias_name="n_items")
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t["sum_rev_e4"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "total_revenue": rev / 10000.0,
+            "n_items": t["n_items"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 Q_ORDER_REVENUE_JOIN_SQL = """
 SELECT o_orderpriority,
-       sum(l_extendedprice * (1 - l_discount)) AS total_revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS total_revenue,
        count(*) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority

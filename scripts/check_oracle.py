@@ -33,21 +33,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
+    """STRICT compare mimicking the driver's value hash: canon() both sides
+    (sorted cols, sorted rows, floats rounded to 6, everything stringified)
+    then require EXACT string equality.  A dtype skew (int64 vs float64 from
+    DuckDB HUGEINT) stringifies as '3' vs '3.0' and fails here, exactly as it
+    fails the driver — round 1's three hash_match=false queries all passed
+    the old 1e-9-tolerance compare."""
     if len(got) != len(want):
         return f"row count {len(got)} != {len(want)}"
     if sorted(got.columns) != sorted(want.columns):
         return f"columns {sorted(got.columns)} != {sorted(want.columns)}"
     g, w = canon(got), canon(want)
     for c in g.columns:
-        if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(w[c].dtype, np.floating):
-            if not np.allclose(g[c].astype(float), w[c].astype(float), rtol=1e-9, atol=1e-9):
-                bad = (~np.isclose(g[c].astype(float), w[c].astype(float), rtol=1e-9, atol=1e-9)).sum()
-                return f"float col {c}: {bad} rows differ (e.g. {g[c].iloc[0]} vs {w[c].iloc[0]})"
-        else:
-            if not (g[c].astype(str) == w[c].astype(str)).all():
-                bad = (g[c].astype(str) != w[c].astype(str))
-                i = bad.idxmax()
-                return f"col {c}: {bad.sum()} rows differ (e.g. row {i}: {g[c][i]!r} vs {w[c][i]!r})"
+        gs, ws = g[c].astype(str), w[c].astype(str)
+        if not (gs == ws).all():
+            bad = gs != ws
+            i = bad.idxmax()
+            loose = ""
+            try:
+                if np.allclose(g[c].astype(float), w[c].astype(float), rtol=1e-9, atol=1e-9):
+                    loose = " [would pass 1e-9-loose: dtype/last-bit skew]"
+            except (ValueError, TypeError):
+                pass
+            return (f"col {c}: {bad.sum()} rows differ "
+                    f"(e.g. row {i}: {gs[i]!r} vs {ws[i]!r}){loose}")
     return None
 
 
