@@ -38,28 +38,79 @@ def _n_convs(sf_dir: str) -> int:
     return max(50, int(40_000 * _sf_of(sf_dir)))
 
 
-# ---- transcript-domain queries (rows-only checks; golden-tested in pytest) -
+# ---- transcript-domain queries (oracle = the golden expected table) --------
+#
+# The transcripts table is our domain input (BASELINE input_hint), not a
+# driver view, so the flagship's oracle is bootstrapped: a FIXED deterministic
+# corpus (pure pyarrow, no Ray) is written to /tmp at import, the query runs
+# REAL extraction/merge over the transcripts parquet, and the oracle SQL reads
+# the golden expected parquet — the corpus generator inverse-renders payloads
+# from the expected text independently of the extraction code, so value-hash
+# equality IS per-turn text equality (the reference's tests/test_ocr.py
+# expected_results.json gate, driver-visible).  Fixed-size on purpose: this
+# pair is the correctness gate; the scaled perf path is entry()/bench.py.
+
+_ORACLE_CORPUS = "/tmp/graft_oracle_corpus_n400_s42_v1"
+
+
+def _oracle_corpus() -> str:
+    """Write the fixed oracle corpus if missing (atomic, content-deterministic)."""
+    import pyarrow.parquet as pq
+
+    tr, exp = f"{_ORACLE_CORPUS}/transcripts.parquet", f"{_ORACLE_CORPUS}/expected.parquet"
+    if not (os.path.exists(tr) and os.path.exists(exp)):
+        from manga_ocr_ray.corpus import make_tables
+
+        os.makedirs(_ORACLE_CORPUS, exist_ok=True)
+        t, e = make_tables(400, seed=42, mega_every=97, mega_turns=150)
+        for path, table in ((tr, t), (exp, e)):
+            tmp = f"{path}.tmp{os.getpid()}"
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)
+    return _ORACLE_CORPUS
+
 
 def _q_transcript_extract(sf_dir: str):
-    from manga_ocr_ray.corpus import transcripts_dataset
+    import ray.data as rd
     from manga_ocr_ray.pipelines.extract import extract_turns
 
-    ds = transcripts_dataset(_n_convs(sf_dir), seed=42, mega_every=997, mega_turns=200)
-    return extract_turns(ds, batch_size=1024, num_buckets=64)
+    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet")
+    out = extract_turns(ds, batch_size=1024, num_buckets=64)
+    return out.select_columns(["conv_id", "turn_idx", "extracted_text"])
+
+
+_Q_TRANSCRIPT_EXTRACT_SQL = f"""
+SELECT conv_id, turn_idx, expected_text AS extracted_text
+FROM '{_ORACLE_CORPUS}/expected.parquet'
+"""
 
 
 def _q_transcript_merge(sf_dir: str):
-    from manga_ocr_ray.corpus import transcripts_dataset
+    import ray.data as rd
     from manga_ocr_ray.pipelines.extract import conversation_merge, extract_turns
 
-    ds = transcripts_dataset(_n_convs(sf_dir) // 4, seed=42)
+    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet")
     return conversation_merge(extract_turns(ds, num_buckets=16), chunk_size=64)
+
+
+_Q_TRANSCRIPT_MERGE_SQL = f"""
+SELECT conv_id,
+       string_agg(expected_text, chr(10) ORDER BY turn_idx) AS merged_text,
+       count(*) AS n_turns
+FROM '{_ORACLE_CORPUS}/expected.parquet'
+GROUP BY conv_id
+"""
 
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
-    return _q_transcript_extract("/root/testdata/sf0.001")
+    from manga_ocr_ray.corpus import transcripts_dataset
+    from manga_ocr_ray.pipelines.extract import extract_turns
+
+    ds = transcripts_dataset(_n_convs("/root/testdata/sf0.001"), seed=42,
+                             mega_every=997, mega_turns=200)
+    return extract_turns(ds, batch_size=1024, num_buckets=64)
 
 
 # ---- similarity / embedding queries ---------------------------------------
@@ -323,7 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed codec, real actor-pool pipeline)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
-        # flagship transcript pipelines (golden-tested; rows-only here)
+        # flagship transcript pipelines (oracle = golden expected table)
         "transcript_extract": _q_transcript_extract,
         "transcript_merge": _q_transcript_merge,
     }
@@ -370,4 +421,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _Q_EMBEDDING_TOPK_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "embedding_centroids": _Q_EMBEDDING_CENTROIDS_SQL,
+        "transcript_extract": _Q_TRANSCRIPT_EXTRACT_SQL,
+        "transcript_merge": _Q_TRANSCRIPT_MERGE_SQL,
     }
+
+
+# Guarantee the flagship oracle corpus exists no matter which of (query,
+# oracle SQL) the driver evaluates first.
+_oracle_corpus()
