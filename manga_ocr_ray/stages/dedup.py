@@ -12,9 +12,10 @@ Scale design (SURVEY §2.7 D1/D2 hardened for 10^12 rows):
   (pigeonhole: hamming ≤3 ⇒ at least one of 4 blocks equal), verified by
   hamming distance.
 
-At test scale the pair-verification step looks texts up in a broadcast
-dict (``ray.put`` once); at 10^12 rows the same pipeline swaps the lookup
-for a hash-partitioned join on doc_id — the bucketing stages are unchanged.
+Pair verification is a hash-partitioned JOIN of the candidate pairs back to
+the texts on doc_id (twice: id_a then id_b) followed by a batched exact-
+Jaccard filter — the corpus never materializes on the driver; only the
+verified pairs (tiny) do.
 """
 
 from __future__ import annotations
@@ -155,8 +156,10 @@ def bucket_pairs_vectorized(g: pd.DataFrame, bucket_cols: list[str], id_col: str
     only over buckets with ≥2 members (rare).  Buckets larger than
     ``max_bucket`` are skipped as degenerate (hot-key guard; a bucket that
     large means the band key carries no signal)."""
+    id_dtype = g[id_col].dtype if len(g) else "int64"
     if len(g) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                             "id_b": pd.Series([], dtype=id_dtype)})
     g = g.sort_values(bucket_cols + [id_col])
     ids = g[id_col].to_numpy()
     combo = np.zeros(len(g), dtype=np.uint64)
@@ -172,7 +175,8 @@ def bucket_pairs_vectorized(g: pd.DataFrame, bucket_cols: list[str], id_col: str
         out_a.append(ids[s:e][ia])
         out_b.append(ids[s:e][ib])
     if not out_a:
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                             "id_b": pd.Series([], dtype=id_dtype)})
     return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
 
@@ -182,7 +186,7 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_pairs_ds(
     ds: rd.Dataset,
     *,
     threshold: float = 0.7,
@@ -192,16 +196,18 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency: int | tuple[int, int] = (1, 4),
-) -> pd.DataFrame:
-    """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold),
+    fully distributed — nothing corpus-sized ever touches the driver.
 
     shingle→minhash→band (actor pool) → per-band groupby buckets → candidate
-    pairs → exact-Jaccard verification.  Verification texts come from a
-    broadcast id→text dict at this scale (see module docstring for the
-    join-based swap at 10^12 rows).
+    pairs (deduped by a small groupby) → texts joined back on doc_id (two
+    hash-partitioned joins) → batched exact-Jaccard verify filter.
     """
-    texts_pdf = ds.select_columns([id_col, text_col]).to_pandas()
-    text_ref = ray.put(dict(zip(texts_pdf[id_col], texts_pdf[text_col])))
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(8, cpus // 2)
 
     banded = ds.map_batches(
         MinHashStage,
@@ -235,24 +241,94 @@ def minhash_lsh_pairs(
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return bucket_pairs_vectorized(g, ["band", "key"], id_col, max_bucket=200)
 
+    # candidate pairs, deduped distributedly (the same pair can fire in
+    # several bands) — pair rows only, a tiny fraction of the corpus.
     cand = (
         buckets.groupby("shard")
         .map_groups(shard_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__nb"))
+        .drop_columns(["__nb"])
+        .materialize()  # pair set only; re-used by two joins below
     )
-    if cand.empty:
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if cand.count() == 0:
+        return rd.from_pandas(empty)
+
+    # Attach both texts with ONE hash-partitioned join: explode each pair to
+    # two (side, lookup_id) rows, join texts on lookup_id, then reassemble
+    # per pair in a shard-grouped vectorized pass.  (Chaining two Dataset
+    # joins is not an option: the join operator emits schema-less blocks for
+    # empty partitions, map_batches skips empty blocks so they can't be
+    # repaired, and a second join then fails key-field resolution — groupby
+    # tolerates them, so join→groupby is the robust composition.)
+    texts = ds.select_columns([id_col, text_col])
+    pair_shards = max(16, num_partitions * 4)
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks().to_numpy()
+        b = t["id_b"].combine_chunks().to_numpy()
+        shard = (mix64(a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                       ^ b.astype(np.uint64)) % np.uint64(pair_shards)).astype(np.int32)
+        return pa.table({
+            "id_a": pa.array(np.repeat(a, 2)),
+            "id_b": pa.array(np.repeat(b, 2)),
+            "pshard": pa.array(np.repeat(shard, 2)),
+            "side": pa.array(np.tile(np.array([0, 1], dtype=np.int8), len(a))),
+            "lid": pa.array(np.stack([a, b], axis=1).ravel()),
+        })
+
+    exploded = cand.map_batches(explode_pairs, batch_format="pyarrow")
+    j = exploded.join(texts, join_type="inner", num_partitions=num_partitions,
+                      on=("lid",), right_on=(id_col,))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if len(g) == 0 or "side" not in g.columns:
+            return empty
+        a = g[g["side"] == 0][["id_a", "id_b", text_col]]
+        b = g[g["side"] == 1][["id_a", "id_b", text_col]]
+        m = a.merge(b, on=["id_a", "id_b"], suffixes=("_l", "_r"))
+        if m.empty:
+            return empty
+        jac = np.fromiter(
+            (_jaccard(_word_ngram_hashes(x, ngram), _word_ngram_hashes(y, ngram))
+             for x, y in zip(m[f"{text_col}_l"], m[f"{text_col}_r"])),
+            dtype=np.float64, count=len(m))
+        out = m[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold]
+
+    return j.groupby("pshard").map_groups(assemble, batch_format="pandas")
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 16,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> pd.DataFrame:
+    """Driver-convenience wrapper: collect the VERIFIED pairs (small) and
+    sort for deterministic output.  All heavy lifting is in
+    :func:`minhash_lsh_pairs_ds`."""
+    out = minhash_lsh_pairs_ds(
+        ds, threshold=threshold, num_hashes=num_hashes, bands=bands,
+        ngram=ngram, id_col=id_col, text_col=text_col, concurrency=concurrency,
+    ).to_pandas()
+    if out.empty:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    texts = ray.get(text_ref)
-    sh = {i: _word_ngram_hashes(texts[i], ngram) for i in
-          np.unique(cand[["id_a", "id_b"]].to_numpy())}
-    jac = np.array([_jaccard(sh[a], sh[b]) for a, b in
-                    zip(cand["id_a"], cand["id_b"])])
-    out = cand.assign(jaccard=jac)
-    out = out[out["jaccard"] >= threshold].sort_values(["id_a", "id_b"])
-    return out.reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def cluster_reps(pairs: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:

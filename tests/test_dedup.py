@@ -102,3 +102,22 @@ def test_ngram_jaccard_ray(ray_session):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (100, 101) in got and (100, 102) in got and (101, 102) in got
     assert len(got) == 3
+
+
+def test_minhash_lsh_ds_no_driver_materialization(ray_session, monkeypatch):
+    """The distributed verification path must never collect the corpus on the
+    driver: poison Dataset.to_pandas and run minhash_lsh_pairs_ds end-to-end
+    (VERDICT r1 item 3 — the broadcast-dict verify was the scale stain)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.dedup import minhash_lsh_pairs_ds
+
+    ds = rd.from_pandas(_corpus())
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side to_pandas in distributed dedup path")
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", boom)
+    rows = minhash_lsh_pairs_ds(ds, threshold=0.5, num_hashes=128, bands=32).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (100, 101) in got
+    assert all(not (a == 103 or b == 103) for a, b in got)
