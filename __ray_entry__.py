@@ -141,6 +141,21 @@ SELECT query_id, rank, neighbor_id FROM (
 
 
 def _q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Oracle gate: the exact O(n²) variant (broadcast matrix — oracle scale
+    only; the production default is the LSH path below)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import embedding_near_dup_pairs_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs_exact(ds, threshold=0.45)
+    return out[["id_a", "id_b"]]
+
+
+def _q_embedding_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
+    """The scale path (hyperplane LSH buckets, shard-verified): exact
+    precision, auto-tuned recall — at this corpus/threshold the seeded LSH
+    recovers the full exact pair set deterministically, so it shares the
+    exact oracle."""
     import ray.data as rd
     from manga_ocr_ray.stages.similarity import embedding_near_dup_pairs
 
@@ -369,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_doc_lang_id,
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_ivf_topk": _q_embedding_ivf_topk,
         "embedding_centroids": _q_embedding_centroids,
         # multimodal plumbing (stubbed codec, real actor-pool pipeline)
@@ -420,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_keep": D.q_doc_minhash_keep_sql(),
         "embedding_topk": _Q_EMBEDDING_TOPK_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
+        "embedding_near_dup_lsh": _Q_EMBEDDING_NEAR_DUP_SQL,
         "embedding_centroids": _Q_EMBEDDING_CENTROIDS_SQL,
         "transcript_extract": _Q_TRANSCRIPT_EXTRACT_SQL,
         "transcript_merge": _Q_TRANSCRIPT_MERGE_SQL,

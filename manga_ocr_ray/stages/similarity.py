@@ -190,12 +190,54 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold) — DEFAULT
+    path is hyperplane LSH (:func:`lsh_near_dup_pairs`): bucket-local exact
+    verification means precision is exact; recall is governed by
+    n_planes/n_tables, auto-tuned from the threshold when not given
+    (pytest-pinned ≥0.9 on clustered fixtures).  The O(corpus²) broadcast
+    variant survives only as the oracle gate
+    (:func:`embedding_near_dup_pairs_exact`)."""
+    if n_planes is None or n_tables is None:
+        n_planes, n_tables = lsh_params(threshold)
+    return lsh_near_dup_pairs(
+        ds, threshold=threshold, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+
+
+def lsh_params(threshold: float, target_recall: float = 0.95) -> tuple[int, int]:
+    """(n_planes, n_tables) for hyperplane LSH hitting ``target_recall`` at
+    ``threshold``: per-plane collision prob p = 1 - arccos(threshold)/π;
+    per-table p^b; recall = 1-(1-p^b)^T.  Among T ∈ {4, 8, 16} pick the
+    largest feasible b (strongest bucket pruning; more tables = more
+    replication through the shuffle — the standard recall/IO tradeoff)."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    best = (1, 4)
+    for T in (4, 8, 16):
+        q = 1.0 - (1.0 - target_recall) ** (1.0 / T)  # per-table prob needed
+        b = max(1, int(np.floor(np.log(q) / np.log(p))))
+        if b > best[0]:
+            best = (b, T)
+    return best
+
+
+def embedding_near_dup_pairs_exact(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> pd.DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
     Each batch multiplies against the broadcast full matrix; only upper-
-    triangle hits are emitted.  Oracle-scale exact variant; see
-    :func:`lsh_near_dup_pairs` for the bucketed scale path."""
+    triangle hits are emitted.  ORACLE-GATE ONLY: the broadcast matrix is
+    O(corpus) driver memory — the production path is
+    :func:`embedding_near_dup_pairs` (LSH)."""
     pdf = ds.select_columns([id_col, vec_col]).to_pandas()
     all_ids = pdf[id_col].to_numpy()
     all_m = _unit(_mat(pa.chunked_array([pa.array(list(pdf[vec_col]))])))
@@ -235,10 +277,17 @@ def lsh_near_dup_pairs(
     Only (table, bucket_key, id, vec) rows co-locate per bucket; no full
     matrix broadcast.  Recall is governed by n_planes/n_tables (documented
     partitioning assumption: near pairs share a bucket in ≥1 table)."""
+    from ..functions.hashing import mix64
+
     rng = np.random.Generator(np.random.Philox(key=[seed, 0x9A5]))
     d = len(ds.take(1)[0][vec_col])
     planes = rng.standard_normal((n_tables, n_planes, d))
     ref = ray.put(planes)
+    # group on a SHARD of the (table,key) space, not raw buckets: per-bucket
+    # map_groups would pay Ray's per-group task overhead once per bucket
+    # (~2^n_planes × n_tables groups); each shard task verifies many buckets
+    # in one vectorized pass.
+    n_shards = max(64, min(8192, int(np.sqrt(max(1, ds.count())))))
 
     def bucket(batch: pa.Table) -> pa.Table:
         pl = ray.get(ref)
@@ -254,32 +303,55 @@ def lsh_near_dup_pairs(
             keys.append(key)
             out_ids.append(ids)
             vecs.append(m)
+        tab = np.concatenate(tabs)
+        key = np.concatenate(keys)
+        shard = (mix64(key.astype(np.uint64)
+                       + np.uint64(0x9E3779B9) * (tab.astype(np.uint64) + 1))
+                 % np.uint64(n_shards)).astype(np.int32)
         return pa.table(
             {
-                "table": pa.array(np.concatenate(tabs)),
-                "key": pa.array(np.concatenate(keys)),
+                "shard": pa.array(shard),
+                "table": pa.array(tab),
+                "key": pa.array(key),
                 id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
                 "vec": pa.array(list(np.concatenate(vecs))),
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 1000:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_col)
+    def shard_verify(g: pd.DataFrame, max_bucket: int = 1000) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if len(g) < 2 or "table" not in g.columns:
+            return empty
+        g = g.sort_values(["table", "key", id_col], kind="mergesort")
+        combo = mix64(g["key"].to_numpy().astype(np.uint64)
+                      ^ (np.uint64(0xABCD) * (g["table"].to_numpy().astype(np.uint64) + 1)))
+        runs = np.flatnonzero(np.concatenate(([True], combo[1:] != combo[:-1], [True])))
         ids = g[id_col].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia][mask], "id_b": ids[ib][mask], "cosine": sims[ia, ib][mask]}
-        )
+        vecs = np.stack(g["vec"].to_numpy())
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(runs[:-1], runs[1:]):
+            c = e - s
+            if c < 2 or c > max_bucket:
+                continue
+            m = vecs[s:e]
+            sims = m @ m.T
+            ia, ib = np.triu_indices(c, k=1)
+            mask = sims[ia, ib] >= threshold
+            out_a.append(ids[s:e][ia[mask]])
+            out_b.append(ids[s:e][ib[mask]])
+            out_c.append(sims[ia, ib][mask])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
 
     out = (
         ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["table", "key"])
-        .map_groups(verify, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(shard_verify, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:

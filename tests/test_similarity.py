@@ -61,14 +61,39 @@ def test_ivf_recall(ray_session):
 
 def test_embedding_near_dup(ray_session):
     import ray.data as rd
-    from manga_ocr_ray.stages.similarity import embedding_near_dup_pairs, lsh_near_dup_pairs
+    from manga_ocr_ray.stages.similarity import (
+        embedding_near_dup_pairs_exact, lsh_near_dup_pairs)
 
     pdf = _embeddings()
     ds = rd.from_pandas(pdf).repartition(4)
-    exact = embedding_near_dup_pairs(ds, threshold=0.99)
+    exact = embedding_near_dup_pairs_exact(ds, threshold=0.99)
     got = set(zip(exact["id_a"], exact["id_b"]))
     assert (7, 8) in got and (20, 21) in got
 
     lsh = lsh_near_dup_pairs(ds, threshold=0.99, n_planes=8, n_tables=8)
     got_lsh = set(zip(lsh["id_a"], lsh["id_b"]))
     assert (7, 8) in got_lsh and (20, 21) in got_lsh
+
+
+def test_lsh_default_recall_pinned(ray_session):
+    """The DEFAULT near-dup path (auto-tuned LSH) must keep recall ≥0.9 vs
+    the exact oracle on clustered data (VERDICT r1 item 4)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_exact, lsh_params)
+
+    rng = np.random.Generator(np.random.Philox(key=[9, 2]))
+    # 40 cluster centers, 5 jittered members each → plenty of true pairs
+    centers = rng.standard_normal((40, 16))
+    m = np.repeat(centers, 5, axis=0) + 0.12 * rng.standard_normal((200, 16))
+    pdf = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(m.astype(np.float32))})
+    ds = rd.from_pandas(pdf).repartition(4)
+
+    thr = 0.85
+    exact = set(zip(*embedding_near_dup_pairs_exact(ds, threshold=thr)[["id_a", "id_b"]].to_numpy().T))
+    approx = set(zip(*embedding_near_dup_pairs(ds, threshold=thr)[["id_a", "id_b"]].to_numpy().T))
+    assert len(exact) >= 50
+    assert approx <= exact  # exact in-bucket verify → perfect precision
+    recall = len(exact & approx) / len(exact)
+    b, t = lsh_params(thr)
+    assert recall >= 0.9, (recall, b, t)
