@@ -102,6 +102,47 @@ GROUP BY conv_id
 """
 
 
+def _q_transcript_cjk_stats(sf_dir: str):
+    """CJK token / char-class kernels value-checked on Japanese-bearing text
+    (the documents table is ASCII-only, so this is the oracle row that
+    actually exercises the kanji/kana ranges against DuckDB's RE2)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from manga_ocr_ray.functions.textstats import (
+        HIRAGANA_CLASS, KANJI_CLASS, KATAKANA_CLASS, TOKEN_PATTERN)
+
+    ds = rd.read_parquet(f"{_oracle_corpus()}/expected.parquet")
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t["expected_text"]
+
+        def cnt(pat: str):
+            return pc.cast(pc.count_substring_regex(text, pattern=pat), pa.int64())
+
+        return pa.table({
+            "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+            "n_tokens": cnt(TOKEN_PATTERN), "n_kanji": cnt(KANJI_CLASS),
+            "n_hiragana": cnt(HIRAGANA_CLASS), "n_katakana": cnt(KATAKANA_CLASS),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _transcript_cjk_stats_sql() -> str:
+    from manga_ocr_ray.functions.textstats import (
+        HIRAGANA_CLASS, KANJI_CLASS, KATAKANA_CLASS, TOKEN_PATTERN)
+
+    return f"""
+SELECT conv_id, turn_idx,
+       len(regexp_extract_all(expected_text, '{TOKEN_PATTERN}')) AS n_tokens,
+       len(regexp_extract_all(expected_text, '{KANJI_CLASS}')) AS n_kanji,
+       len(regexp_extract_all(expected_text, '{HIRAGANA_CLASS}')) AS n_hiragana,
+       len(regexp_extract_all(expected_text, '{KATAKANA_CLASS}')) AS n_katakana
+FROM '{_ORACLE_CORPUS}/expected.parquet'
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -304,9 +345,11 @@ def _registry_clean_sql() -> str:
     pre = _HTML_PRE.replace("'", "''")
     post = _HTML_POST.replace("'", "''")
     clean = normalize_sql(strip_html_sql(f"'{pre}' || text || '{post}'"))
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+
     return (
         f"SELECT doc_id, {clean} AS clean_text, "
-        f"len(regexp_extract_all({clean}, '[A-Za-z0-9]+')) AS n_tokens FROM documents"
+        f"len(regexp_extract_all({clean}, '{TOKEN_PATTERN}')) AS n_tokens FROM documents"
     )
 
 
@@ -393,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship transcript pipelines (oracle = golden expected table)
         "transcript_extract": _q_transcript_extract,
         "transcript_merge": _q_transcript_merge,
+        "transcript_cjk_stats": _q_transcript_cjk_stats,
     }
 
 
@@ -440,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _Q_EMBEDDING_CENTROIDS_SQL,
         "transcript_extract": _Q_TRANSCRIPT_EXTRACT_SQL,
         "transcript_merge": _Q_TRANSCRIPT_MERGE_SQL,
+        "transcript_cjk_stats": _transcript_cjk_stats_sql(),
     }
 
 

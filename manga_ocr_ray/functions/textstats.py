@@ -17,7 +17,29 @@ import pyarrow.compute as pc
 
 from .hashing import content_hash64, mix64
 
-TOKEN_PATTERN = r"[A-Za-z0-9]+"
+# CJK-aware tokenization (the reference is a Japanese-text system: BudouX
+# semantic splitting base_generator.py:129-155; kana/kanji predicates
+# common/utils.py:60-151).  Codepoint-range classes, matching the reference's
+# unicodedata.name-based predicates over the BMP blocks that occur in text:
+#   kanji    = CJK Unified Ideographs (+ext A)        U+3400-4DBF, U+4E00-9FFF
+#   hiragana = Hiragana block                          U+3041-309F
+#   katakana = Katakana (+phonetic ext, halfwidth)     U+30A0-30FF, U+31F0-31FF,
+#                                                      U+FF66-FF9F
+# (The combining kana voicing marks U+3099-309C carry BOTH names in Unicode;
+# the reference double-counts them, this range kernel counts them as the
+# hiragana block they live in.)
+# A token is a latin/digit run, a hiragana run, a katakana run, or ONE kanji
+# — so Japanese text no longer counts 0 tokens.  Same RE2 pattern is used by
+# the Arrow kernels and the DuckDB oracles.
+_HIRA = "ぁ-ゟ"
+_KATA = "゠-ヿㇰ-ㇿｦ-ﾟ"
+_HAN = "㐀-䶿一-鿿"
+TOKEN_PATTERN = rf"[A-Za-z0-9]+|[{_HIRA}]+|[{_KATA}]+|[{_HAN}]"
+# shingling runs over lower()ed text, so the latin class is lowercase there
+SHINGLE_TOKEN_PATTERN = rf"[a-z0-9]+|[{_HIRA}]+|[{_KATA}]+|[{_HAN}]"
+KANJI_CLASS = f"[{_HAN}]"
+HIRAGANA_CLASS = f"[{_HIRA}]"
+KATAKANA_CLASS = f"[{_KATA}]"
 PUNCT_PATTERN = r"[.,!?;:]"
 STOPWORDS_EN = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 _STOPWORD_PATTERN = r"(?i)\b(?:" + "|".join(STOPWORDS_EN) + r")\b"

@@ -21,6 +21,7 @@ from ray.data.aggregate import Count, Min
 from ..functions.h2z import DAKUTEN_PAIRS, H2Z_FROM, H2Z_TO
 from ..functions.html import strip_html_array, strip_html_sql
 from ..functions.normalize import WHITESPACE_CODEPOINTS, normalize_batch
+from ..functions.textstats import SHINGLE_TOKEN_PATTERN, TOKEN_PATTERN
 from ..functions.pdf import flatten_pdf_array, flatten_pdf_sql
 from ..functions.textstats import fingerprint_map_batch, quality_batch
 from ..stages.dedup import exact_dedup_groups
@@ -123,14 +124,14 @@ def q_doc_quality(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(lambda t: quality_batch(t, "text"), batch_format="pyarrow")
 
 
-Q_DOC_QUALITY_SQL = r"""
+Q_DOC_QUALITY_SQL = rf"""
 SELECT doc_id,
        length(text) AS n_chars,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
        len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
        len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b')) AS n_stopwords,
        len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b'))
-         * 1.0 / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS stopword_ratio,
+         * 1.0 / greatest(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 1) AS stopword_ratio,
        len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1) AS punct_ratio
 FROM documents
 """
@@ -173,8 +174,8 @@ def q_doc_token_count(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
-Q_DOC_TOKEN_COUNT_SQL = """
-SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+Q_DOC_TOKEN_COUNT_SQL = f"""
+SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
 FROM documents
 """
 
@@ -188,11 +189,21 @@ def q_doc_tokens(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(t["text"].combine_chunks(), pattern="[^A-Za-z0-9]+")
+        # "extract all matches" via vectorized kernels (Arrow has no
+        # extract-all): wrap every TOKEN_PATTERN match in \x00 sentinels,
+        # split on the sentinel, keep only full-pattern matches — this keeps
+        # single-kanji tokens separate, which a complement-class split can't.
+        wrapped = pc.replace_substring_regex(
+            t["text"].combine_chunks(), pattern=f"({TOKEN_PATTERN})",
+            replacement="\x00\\1\x00")
+        toks = pc.split_pattern(wrapped, "\x00")
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy()
-        keep_arr = pc.not_equal(pc.utf8_length(flat), pa.scalar(0))
-        keep = keep_arr.to_numpy(zero_copy_only=False)  # drop split artifacts
+        keep_arr = pc.and_(
+            pc.not_equal(pc.utf8_length(flat), pa.scalar(0)),
+            pc.match_substring_regex(flat, f"^(?:{TOKEN_PATTERN})$"),
+        )
+        keep = keep_arr.to_numpy(zero_copy_only=False)  # drop inter-match spans
         parent = parent[keep]
         # 0-based position among kept tokens of the same doc (parents are
         # contiguous after flatten, so a segmented cumcount suffices)
@@ -210,8 +221,8 @@ def q_doc_tokens(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-Q_DOC_TOKENS_SQL = """
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') ts FROM documents)
+Q_DOC_TOKENS_SQL = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') ts FROM documents)
 SELECT doc_id,
        unnest(list_transform(generate_series(1, len(ts)), i -> i - 1)) AS tok_idx,
        unnest(ts) AS token
@@ -233,8 +244,8 @@ def q_doc_minhash_keep(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id", "cluster_rep"])
 
 
-Q_DOC_MINHASH_PAIR_SQL = """
-WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ws FROM documents),
+Q_DOC_MINHASH_PAIR_SQL = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '{SHINGLE_TOKEN_PATTERN}') ws FROM documents),
 grams AS (SELECT doc_id,
                  CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                       ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
@@ -279,8 +290,8 @@ def q_doc_top_tokens(sf_dir: str) -> pd.DataFrame:
     return top[["token", "n"]]
 
 
-Q_DOC_TOP_TOKENS_SQL = """
-WITH toks AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+Q_DOC_TOP_TOKENS_SQL = f"""
+WITH toks AS (SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
               FROM documents)
 SELECT token, count(*) AS n FROM toks
 GROUP BY token ORDER BY n DESC, token LIMIT 20

@@ -555,29 +555,49 @@ FROM events
 # ---- M13: char-class fractions (vectorized codepoint ranges) ---------------
 
 def q_doc_char_classes(sf_dir: str) -> rd.Dataset:
-    """ascii/digit/space char counts per document — the reference's char
-    classifiers (common/utils.py:60-151) as RE2 count kernels."""
+    """ascii/digit/space + kanji/hiragana/katakana char counts per document —
+    the reference's char classifiers (common/utils.py:60-151: unicodedata
+    name-based is_kanji/is_hiragana/is_katakana/is_ascii) as vectorized
+    codepoint-range RE2 count kernels."""
+    from ..functions.textstats import HIRAGANA_CLASS, KANJI_CLASS, KATAKANA_CLASS
+
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def classes(t: pa.Table) -> pa.Table:
         text = t["text"]
+
+        def cnt(pat: str):
+            return pc.cast(pc.count_substring_regex(text, pattern=pat), pa.int64())
+
         return pa.table({
             "doc_id": t["doc_id"],
-            "n_ascii_alpha": pc.cast(pc.count_substring_regex(text, pattern="[A-Za-z]"), pa.int64()),
-            "n_digit": pc.cast(pc.count_substring_regex(text, pattern="[0-9]"), pa.int64()),
-            "n_space": pc.cast(pc.count_substring_regex(text, pattern=" "), pa.int64()),
+            "n_ascii_alpha": cnt("[A-Za-z]"),
+            "n_digit": cnt("[0-9]"),
+            "n_space": cnt(" "),
+            "n_kanji": cnt(KANJI_CLASS),
+            "n_hiragana": cnt(HIRAGANA_CLASS),
+            "n_katakana": cnt(KATAKANA_CLASS),
         })
 
     return ds.map_batches(classes, batch_format="pyarrow")
 
 
-Q_DOC_CHAR_CLASSES_SQL = """
+def _doc_char_classes_sql() -> str:
+    from ..functions.textstats import HIRAGANA_CLASS, KANJI_CLASS, KATAKANA_CLASS
+
+    return f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]')) AS n_ascii_alpha,
        len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-       len(regexp_extract_all(text, ' ')) AS n_space
+       len(regexp_extract_all(text, ' ')) AS n_space,
+       len(regexp_extract_all(text, '{KANJI_CLASS}')) AS n_kanji,
+       len(regexp_extract_all(text, '{HIRAGANA_CLASS}')) AS n_hiragana,
+       len(regexp_extract_all(text, '{KATAKANA_CLASS}')) AS n_katakana
 FROM documents
 """
+
+
+Q_DOC_CHAR_CLASSES_SQL = _doc_char_classes_sql()
 
 
 # ---- semi / anti joins (J4/J5: manifest anti-join pattern) -----------------

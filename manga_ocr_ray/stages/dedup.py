@@ -31,8 +31,11 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import content_hash64, mix64
+from ..functions.textstats import SHINGLE_TOKEN_PATTERN
 
-_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+# CJK-aware (shingling runs on lower()ed text; mirrored by the DuckDB oracle
+# in pipelines/documents.py Q_DOC_MINHASH_PAIR_SQL)
+_TOKEN_RE = re.compile(SHINGLE_TOKEN_PATTERN)
 
 # ---- exact dedup -----------------------------------------------------------
 

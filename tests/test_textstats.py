@@ -11,8 +11,42 @@ from manga_ocr_ray.functions.hashing import bucket_of, content_hash64, hash64_ar
 
 
 def test_token_count():
+    # CJK-aware: each kanji is a token, kana runs are tokens (a pure-Japanese
+    # document must NOT count 0 tokens — VERDICT r1 item 5)
     arr = pa.array(["one two three", "", "a1 b2", "日本語 text"])
-    assert token_count_array(arr).to_pylist() == [3, 0, 2, 1]
+    assert token_count_array(arr).to_pylist() == [3, 0, 2, 4]
+    jp = pa.array(["こんにちは世界", "データのテスト", "ｶﾞｷﾞｸﾞ処理"])
+    # hira-run + 2 kanji; hira+kata runs split at script change (の|テスト);
+    # halfwidth kata run + 2 kanji
+    assert token_count_array(jp).to_pylist() == [3, 3, 3]
+
+
+def test_cjk_char_classes_conform_to_reference_predicates():
+    """Range kernels match the reference's unicodedata.name-based
+    is_kanji/is_hiragana/is_katakana (common/utils.py:60-151) on
+    representative chars (excluding U+3099-309C voicing marks, which carry
+    both names and are double-counted by the reference)."""
+    import re
+    import unicodedata
+
+    from manga_ocr_ray.functions.textstats import (
+        HIRAGANA_CLASS, KANJI_CLASS, KATAKANA_CLASS)
+
+    def name(ch):
+        try:
+            return unicodedata.name(ch)
+        except ValueError:
+            return ""
+
+    vectors = "あぁんゟアーヴヶｱｶﾞｦﾟㇰ漢字一鿿㐀䶿abcXYZ09 、。！「」…ハんガ"
+    for ch in vectors:
+        if 0x3099 <= ord(ch) <= 0x309C:
+            continue
+        n = name(ch)
+        assert bool(re.fullmatch(KANJI_CLASS, ch)) == ("CJK UNIFIED IDEOGRAPH" in n), ch
+        if "KATAKANA-HIRAGANA" not in n:
+            assert bool(re.fullmatch(HIRAGANA_CLASS, ch)) == ("HIRAGANA" in n), ch
+            assert bool(re.fullmatch(KATAKANA_CLASS, ch)) == ("KATAKANA" in n), ch
 
 
 def test_quality_batch():
