@@ -287,6 +287,19 @@ def _q_orders_quantiles_approx(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"p25": [out[0.25]], "median": [out[0.5]], "p75": [out[0.75]]})
 
 
+def _q_orders_quantiles_approx_grouped(sf_dir: str) -> pd.DataFrame:
+    """PER-GROUP histogram-sketch quantiles — the scale path behind the exact
+    orders_price_quantiles (whose per-group materialization is a skew hazard
+    at 10^12 rows).  Rows-only: approx; accuracy pinned in pytest."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.sketch import grouped_approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_approx_quantiles(ds, "o_orderpriority", "o_totalprice").to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _q_embedding_centroids(sf_dir: str):
     """Per-label mean embedding as (label, dim, centroid) scalar rows —
     vector aggregation where only scalar partials shuffle."""
@@ -423,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "events_approx_users": _q_events_approx_users,
         "orders_quantiles_approx": _q_orders_quantiles_approx,
+        "orders_quantiles_approx_grouped": _q_orders_quantiles_approx_grouped,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_lang_id": _q_doc_lang_id,
         "embedding_topk": _q_embedding_topk,

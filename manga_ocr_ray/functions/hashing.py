@@ -86,6 +86,28 @@ def content_hash64(texts: list[str] | pa.Array | pa.ChunkedArray) -> np.ndarray:
     return out
 
 
+def content_hash128(texts: list[str] | pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content hash as two uint64 words (lo, hi).
+
+    Exact-dedup keys: at the 10^12-row design scale, 64-bit keys expect
+    tens of thousands of birthday collisions that would silently merge
+    distinct documents; 128 bits puts the expected collision count at ~1e-14.
+    blake2b(digest_size=16) per row, split little-endian."""
+    import hashlib
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.fill_null("").to_pylist()
+    lo = np.empty(len(texts), dtype=np.uint64)
+    hi = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+        lo[i] = int.from_bytes(d[:8], "little")
+        hi[i] = int.from_bytes(d[8:], "little")
+    return lo, hi
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — decorrelates derived seeds/band hashes."""
     x = x.astype(np.uint64)

@@ -47,10 +47,9 @@ def normalize_sql(expr: str) -> str:
     whitespace squash uses the exact Python str.isspace() codepoint set;
     h2z is the dakuten replace chain + one translate() with the full tables.
     """
-    ws = "".join(
-        f"\\x{{{cp:04x}}}" if cp not in (0x5D, 0x5C, 0x5E) else f"\\x{{{cp:04x}}}"
-        for cp in WHITESPACE_CODEPOINTS
-    )
+    # \x{...} escapes are safe for every codepoint inside an RE2 class, so no
+    # special-casing is needed even for ]/\/^
+    ws = "".join(f"\\x{{{cp:04x}}}" for cp in WHITESPACE_CODEPOINTS)
     out = f"regexp_replace({expr}, '[{ws}]+', '', 'g')"
     out = f"regexp_replace({out}, '[・.]{{2,}}', '...', 'g')"
     out = f"replace({out}, '…', '...')"

@@ -285,19 +285,18 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_props(sf_dir: str) -> rd.Dataset:
-    """JSON tool-payload parse (S3/M12 analog) + grouped aggregate."""
-    import json
+    """JSON tool-payload parse (S3/M12 analog) + grouped aggregate.
 
+    The top-level-scalar JSON-path extraction is ONE vectorized RE2 pass
+    (``pc.extract_regex``), not a per-row json.loads loop; non-matching /
+    malformed payloads become nulls, mirroring the oracle's ``->>'k'``."""
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
 
     def parse(t: pa.Table) -> pa.Table:
-        ks = []
-        for p in t["props"].to_pylist():
-            try:
-                ks.append(int(json.loads(p).get("k")))
-            except (TypeError, ValueError, json.JSONDecodeError):
-                ks.append(None)
-        return pa.table({"event_type": t["event_type"], "k": pa.array(ks, pa.int64())})
+        ext = pc.extract_regex(t["props"].combine_chunks(),
+                               pattern=r'"k"\s*:\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
 
     return (
         ds.map_batches(parse, batch_format="pyarrow")
@@ -408,8 +407,10 @@ def q_doc_split(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def split(t: pa.Table) -> pa.Table:
+        # md5 stays (the one hash both engines compute identically); the loop
+        # cost is the digest itself — first digest byte == int(hex[:2], 16)
         labels = [
-            "test" if int(hashlib.md5(x.encode()).hexdigest()[:2], 16) < 26 else "train"
+            "test" if hashlib.md5(x.encode()).digest()[0] < 26 else "train"
             for x in t["text"].to_pylist()
         ]
         return pa.table({"doc_id": t["doc_id"], "split": pa.array(labels)})

@@ -26,30 +26,39 @@ import ray.data as rd
 
 def read_corpus_lines(paths: str | list[str], *, min_chars: int = 3,
                       source: str = "corpus") -> rd.Dataset:
-    """Stream text files line-by-line; keep stripped lines with at least
+    """Read text files line-by-line; keep stripped lines with at least
     ``min_chars`` chars; add ``source`` and a stable ``line_id``.
 
-    Ids are per-block offsets combined with a block-content hash, so they are
-    deterministic for a fixed input set without a global zip_with_index pass
-    (the reference's running counter, process_cc100.py:39-69, is a driver-side
-    serial loop we avoid).
+    ``line_id = <source>_<file basename>_<line number>`` — a pure function of
+    stable input coordinates, so ids are identical at every read parallelism
+    / cluster size and never collide (block-boundary-derived ids are neither:
+    boundaries move with parallelism).  The unit of parallelism is therefore
+    the FILE (``read_binary_files`` + in-task line split), matching the
+    reference's per-file loop (process_cc100.py:39-69) without its driver-side
+    serial counter; shard large corpora into many files upstream.
     """
-    ds = rd.read_text(paths)
+    ds = rd.read_binary_files(paths, include_paths=True)
 
     def project(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        text = pc.utf8_trim_whitespace(batch["text"])
-        keep = pc.greater_equal(pc.utf8_length(text), min_chars)
-        text = text.filter(keep)
-        import hashlib
-
-        base = hashlib.sha1(
-            ("\x00".join(text.slice(0, 4).to_pylist()) + str(len(text))).encode()
-        ).hexdigest()[:12]
-        ids = pa.array([f"{source}_{base}_{i}" for i in range(len(text))])
-        return pa.table({"source": pa.array([source] * len(text)), "line_id": ids,
-                         "line": text})
+        srcs, ids, lines = [], [], []
+        for path, blob in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            base = os.path.basename(path)
+            raw = pa.array(blob.decode("utf-8", errors="replace").split("\n"))
+            text = pc.utf8_trim_whitespace(raw)
+            keep_arr = pc.greater_equal(pc.utf8_length(text), min_chars)
+            keep = keep_arr.to_numpy(zero_copy_only=False)
+            linenos = keep.nonzero()[0]
+            lines.append(text.filter(keep_arr))
+            ids.extend(f"{source}_{base}_{ln}" for ln in linenos)
+            srcs.extend([source] * len(linenos))
+        line_col = (pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                                      for a in lines])
+                    if lines else pa.array([], pa.string()))
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "line_id": pa.array(ids, pa.string()),
+                         "line": line_col})
 
     return ds.map_batches(project, batch_format="pyarrow")
 

@@ -2,8 +2,10 @@
 
 Scale design (SURVEY §2.7 D1/D2 hardened for 10^12 rows):
 
-- exact: content-hash column added in a vectorized ``map_batches``, then ONE
-  ``groupby(hash)`` shuffle keyed on the 64-bit hash (never on the text).
+- exact: content-hash columns added in a vectorized ``map_batches``, then ONE
+  ``groupby`` shuffle keyed on a 128-bit blake2b digest carried as two int64
+  columns (never on the text; 64 bits would birthday-collide ~10^4 times at
+  10^12 rows).
 - MinHash/LSH: signatures computed batch-local (numpy broadcasting), exploded
   to ``(band, band_key, doc_id)`` rows, bucketed by ONE groupby; candidate
   pairs verified by true Jaccard.  Only bucket rows shuffle — O(bands·n)
@@ -30,7 +32,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from ..functions.hashing import content_hash64, mix64
+from ..functions.hashing import content_hash64, content_hash128, mix64
 from ..functions.textstats import SHINGLE_TOKEN_PATTERN
 
 # CJK-aware (shingling runs on lower()ed text; mirrored by the DuckDB oracle
@@ -41,8 +43,15 @@ _TOKEN_RE = re.compile(SHINGLE_TOKEN_PATTERN)
 
 def add_content_hash(batch: pa.Table, text_col: str = "text",
                      out_col: str = "content_hash") -> pa.Table:
-    h = content_hash64(batch[text_col]).astype(np.int64)
-    return batch.append_column(out_col, pa.array(h))
+    """Two int64 key columns = one 128-bit blake2b digest: 64-bit keys
+    expect ~10^4 birthday collisions at the 10^12-row design scale (silently
+    merging distinct documents); 128 bits makes that ~1e-14."""
+    lo, hi = content_hash128(batch[text_col])
+    batch = batch.append_column(out_col, pa.array(lo.astype(np.int64)))
+    return batch.append_column(f"{out_col}2", pa.array(hi.astype(np.int64)))
+
+
+_HASH_KEYS = ["content_hash", "content_hash2"]
 
 
 def exact_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
@@ -50,9 +59,9 @@ def exact_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
     """(keep_doc_id, n_copies) per distinct content — hash-keyed groupby."""
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
-    ).select_columns([id_col, "content_hash"])
+    ).select_columns([id_col, *_HASH_KEYS])
     return (
-        hashed.groupby("content_hash")
+        hashed.groupby(_HASH_KEYS)
         .aggregate(Min(id_col, alias_name="keep_doc_id"), Count(alias_name="n_copies"))
         .select_columns(["keep_doc_id", "n_copies"])
     )
@@ -72,15 +81,15 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         num_partitions = max(8, cpus // 2)
     hashed = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
-    keep = hashed.select_columns(["content_hash", id_col]).groupby("content_hash").aggregate(
+    keep = hashed.select_columns([*_HASH_KEYS, id_col]).groupby(_HASH_KEYS).aggregate(
         Min(id_col, alias_name="__keep_id")
     )
     joined = hashed.join(keep, join_type="inner", num_partitions=num_partitions,
-                         on=("content_hash",))
+                         on=tuple(_HASH_KEYS))
 
     def flt(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t[id_col], t["__keep_id"]))
-        return t.drop_columns(["__keep_id", "content_hash"])
+        return t.drop_columns(["__keep_id", *_HASH_KEYS])
 
     return joined.map_batches(flt, batch_format="pyarrow")
 
@@ -104,7 +113,13 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 def minhash_signature(shingle_hashes: np.ndarray, num_hashes: int,
                       a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """k-permutation MinHash over a shingle-hash set (one numpy broadcast)."""
+    """k-permutation MinHash over a shingle-hash set (one numpy broadcast).
+
+    NOTE: a*x wraps mod 2^64 before the Mersenne mod, so this is an ad-hoc
+    deterministic mixing family, not a textbook (a*x+b) mod p universal hash
+    — empirically fine here (recall is pytest-pinned and every candidate is
+    verified by exact Jaccard, so only recall, never precision, depends on
+    the family's quality)."""
     x = shingle_hashes.astype(np.uint64)
     vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
     return vals.min(axis=1)

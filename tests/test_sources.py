@@ -24,6 +24,25 @@ def test_read_corpus_lines(ray_session, tmp_path):
     # ids deterministic for a fixed input
     rows2 = read_corpus_lines(str(p), min_chars=3, source="cc-100").take_all()
     assert {r["line_id"] for r in rows} == {r["line_id"] for r in rows2}
+    # ids are stable input coordinates (file + line number), so identical
+    # lines in different files / positions never collide
+    ids = {r["line_id"]: r["line"] for r in rows}
+    assert ids == {"cc-100_ja.txt_0": "keep this line",
+                   "cc-100_ja.txt_3": "another kept line"}
+
+
+def test_read_corpus_lines_ids_stable_across_parallelism(ray_session, tmp_path):
+    """line_id must not depend on block boundaries (ADVICE r1: the old batch-
+    prefix-hash ids shifted with read parallelism)."""
+    files = []
+    for i in range(4):
+        p = tmp_path / f"part{i}.txt"
+        p.write_text("".join(f"line {i} {j} content\n" for j in range(20)))
+        files.append(str(p))
+    a = {r["line_id"] for r in read_corpus_lines(files).take_all()}
+    b = {r["line_id"]
+         for r in read_corpus_lines(list(reversed(files))).take_all()}
+    assert a == b and len(a) == 80
 
 
 def test_incremental_source_diff_commit(ray_session, tmp_path):
