@@ -351,6 +351,31 @@ def _q_registry_clean(sf_dir: str):
     return pipe(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def _q_spec_clean(sf_dir: str):
+    """Same pipeline as registry_clean but driven end-to-end from a YAML spec
+    file through the typed loader (spec.py: pydantic validation + env
+    interpolation) — shares registry_clean's oracle."""
+    from manga_ocr_ray.spec import load_spec, run_spec
+
+    spec_path = f"/tmp/graft_spec_clean_{os.getpid()}.yaml"
+    with open(spec_path, "w") as f:
+        f.write(f"""
+input:
+  path: {sf_dir}/documents.parquet
+  columns: [doc_id, text]
+steps:
+  - {{op: wrap_html, in_col: text, out_col: wrapped}}
+  - {{op: strip_html, in_col: wrapped, out_col: clean_text}}
+  - {{op: normalize, in_col: clean_text, out_col: clean_text}}
+  - {{op: token_count, in_col: clean_text, out_col: n_tokens}}
+  - {{op: select, columns: [doc_id, clean_text, n_tokens]}}
+""")
+    try:
+        return run_spec(load_spec(spec_path))
+    finally:
+        os.unlink(spec_path)
+
+
 def _registry_clean_sql() -> str:
     from manga_ocr_ray.functions.html import strip_html_sql
     from manga_ocr_ray.pipelines.documents import _HTML_POST, _HTML_PRE, normalize_sql
@@ -429,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": D.q_doc_token_count,
         "doc_tokens": D.q_doc_tokens,
         "registry_clean": _q_registry_clean,
+        "spec_clean": _q_spec_clean,
         "doc_top_tokens": D.q_doc_top_tokens,
         # training-data operators
         "doc_minhash_dedup": _q_doc_minhash_dedup,
@@ -482,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": D.Q_DOC_TOKEN_COUNT_SQL,
         "doc_tokens": D.Q_DOC_TOKENS_SQL,
         "registry_clean": _registry_clean_sql(),
+        "spec_clean": _registry_clean_sql(),
         "doc_top_tokens": D.Q_DOC_TOP_TOKENS_SQL,
         "doc_normalize": D.Q_DOC_NORMALIZE_SQL,
         "doc_strip_html": D.q_doc_strip_html_sql(),

@@ -33,6 +33,44 @@ def _ray_init(num_cpus: int | None) -> bool:
     return True
 
 
+def _watch(args) -> int:
+    """Continuous-ingest loop (the reference's run.py:110-214 polling surface
+    over IncrementalParquetSource): diff → extract just the new files into a
+    per-batch resumable subdir → commit the seen-set ONLY after the write
+    succeeds (at-least-once; a crash mid-batch reprocesses that batch, whose
+    own bucket manifests then dedupe the work)."""
+    import hashlib
+    import json
+    import os
+    import time
+
+    from .pipelines.extract import read_transcripts, run_extraction
+    from .sources import IncrementalParquetSource
+
+    state = args.state or os.path.join(args.out, "_watch_state.json")
+    os.makedirs(args.out, exist_ok=True)
+    src = IncrementalParquetSource(args.input, state)
+    ticks = 0
+    while True:
+        new = src.diff()
+        if new:
+            batch_id = hashlib.sha1("\x00".join(sorted(new)).encode()).hexdigest()[:12]
+            dest = os.path.join(args.out, f"batch_{batch_id}")
+            res = run_extraction(
+                read_transcripts(new), dest,
+                fingerprint=batch_id, num_buckets=args.num_buckets,
+            )
+            src.commit()
+            print(json.dumps({"tick": ticks, "files": len(new), "dest": dest,
+                              "new_rows": res["new_rows"]}), flush=True)
+        else:
+            print(json.dumps({"tick": ticks, "files": 0}), flush=True)
+        ticks += 1
+        if args.max_ticks and ticks >= args.max_ticks:
+            return 0
+        time.sleep(args.interval)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="manga_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -59,6 +97,23 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--dest", required=True)
     pm.add_argument("--chunk-size", type=int, default=10_000)
     pm.add_argument("--num-cpus", type=int, default=None)
+
+    pr = sub.add_parser("run", help="run a YAML pipeline spec (typed, validated)")
+    pr.add_argument("--spec", required=True, help="pipeline spec YAML file")
+    pr.add_argument("--num-cpus", type=int, default=None)
+
+    pw = sub.add_parser(
+        "watch", help="continuous ingest: poll a parquet dir, extract new files "
+                      "(the reference's run.py watch loop, restart-safe)")
+    pw.add_argument("--input", required=True, help="directory of transcript parquet files")
+    pw.add_argument("--out", required=True, help="output root; each file-batch gets a subdir")
+    pw.add_argument("--state", default=None,
+                    help="seen-files manifest path (default <out>/_watch_state.json)")
+    pw.add_argument("--interval", type=float, default=5.0, help="poll delay seconds")
+    pw.add_argument("--max-ticks", type=int, default=0,
+                    help="stop after N polls (0 = forever); lets tests/cron drive")
+    pw.add_argument("--num-buckets", type=int, default=16)
+    pw.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
     owns_ray = _ray_init(args.num_cpus)
@@ -95,6 +150,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             merged.write_parquet(args.dest)
             print(json.dumps({"conversations": merged.count()}))
+        elif args.cmd == "run":
+            from .spec import load_spec, run_spec
+
+            spec = load_spec(args.spec)
+            res = run_spec(spec)
+            if isinstance(res, dict):
+                print(json.dumps(res))
+            else:
+                print(json.dumps({"rows": res.count()}))
+        elif args.cmd == "watch":
+            return _watch(args)
     finally:
         if owns_ray:
             ray.shutdown()
