@@ -6,11 +6,11 @@ here (or in manga_ocr_ray) calls ray.init()/ray.shutdown().
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup, similarity, text analysis); each SQL-
 expressible one has a matching ``oracle_sql()`` entry with identical column
-names.  Transcript-pipeline queries generate their deterministic input corpus
-(pure function of the scale factor) because the transcripts table is our
-domain input, not a driver view — their correctness gate is the golden
-per-turn pytest suite (tests/test_extract.py), mirroring the reference's
-tests/test_ocr.py golden fixture.
+names.  Transcript-pipeline queries run over a fixed deterministic corpus
+written to /tmp at import; their oracle is the golden expected table the
+corpus generator produces independently of the extraction code, so the
+driver's value-hash equality IS per-turn text equality (the reference's
+tests/test_ocr.py golden fixture, driver-visible).
 """
 
 from __future__ import annotations
@@ -519,6 +519,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_pair_sql(),
         "doc_ngram_jaccard": _minhash_pair_sql().replace(">= 0.8", ">= 0.15"),
         "doc_minhash_keep": D.q_doc_minhash_keep_sql(),
+        "doc_simhash_pairs": D.simhash_pairs_sql(3),
+        "doc_fingerprint": D.fingerprint_sql(),
         "embedding_topk": _Q_EMBEDDING_TOPK_SQL,
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "embedding_near_dup_lsh": _Q_EMBEDDING_NEAR_DUP_SQL,

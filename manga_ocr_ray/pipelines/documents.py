@@ -295,3 +295,69 @@ WITH toks AS (SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS toke
 SELECT token, count(*) AS n FROM toks
 GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """DuckDB oracle replicating stages.dedup.simhash64 bit-for-bit: the
+    engine's token hash is the first 8 md5 bytes big-endian — exactly
+    CAST('0x' || substr(md5(token),1,16) AS UBIGINT) — so the TF-weighted
+    bit votes, the sign rule and the final hamming agree exactly."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{SHINGLE_TOKEN_PATTERN}')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS cnt,
+         CAST(('0x' || substr(md5(token), 1, 16)) AS UBIGINT) AS h
+  FROM tok GROUP BY doc_id, token),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS score
+  FROM tf, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN score > 0 THEN CAST(power(2, bit) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sim
+  FROM bits GROUP BY doc_id),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(s.sim, 0) AS sim FROM documents d LEFT JOIN sh s USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM alldocs a JOIN alldocs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+def fingerprint_sql() -> str:
+    """DuckDB oracle replicating functions.textstats.fingerprint_batch
+    bit-for-bit: the 8-byte rolling polynomial hash (FNV prime, mod 2^64),
+    the splitmix64 finalizer (64x64 multiplies split into 32-bit halves to
+    stay inside signed INT128), min-4 WITH multiplicity (np.partition keeps
+    duplicate hashes — XOR of an equal pair cancels), XOR-fold, signed cast.
+    Assumes single-byte text (ord == utf-8 byte; the documents table is
+    ASCII) and length >= 8 (the engine's short-text fallback is blake2b,
+    which SQL cannot mirror)."""
+    P, M = 1099511628211, 1 << 64
+    pw = [pow(P, 7 - k, M) for k in range(8)]
+    terms = " + ".join(
+        f"CAST(ord(substr(text, i+{k}, 1)) AS HUGEINT) * {pw[k]}" for k in range(8))
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        return (f"(CAST(({x}) % 4294967296 AS HUGEINT) * {c} "
+                f"+ ((CAST(({x}) >> 32 AS HUGEINT) * {c}) % 4294967296) * 4294967296) % {M}")
+
+    return f"""
+WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i FROM documents),
+roll AS (SELECT doc_id, i, CAST(({terms}) % {M} AS UBIGINT) AS acc FROM pos),
+s1 AS (SELECT doc_id, i, xor(acc, acc >> 30) AS x FROM roll),
+m1 AS (SELECT doc_id, i, CAST({mulmod('x', c1)} AS UBIGINT) AS x FROM s1),
+s2 AS (SELECT doc_id, i, xor(x, x >> 27) AS x FROM m1),
+m2 AS (SELECT doc_id, i, CAST({mulmod('x', c2)} AS UBIGINT) AS x FROM s2),
+m3 AS (SELECT doc_id, i, xor(x, x >> 31) AS h FROM m2),
+ranked AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h, i) AS rn FROM m3),
+fp AS (SELECT doc_id, bit_xor(h) AS f FROM ranked WHERE rn <= 4 GROUP BY doc_id)
+SELECT doc_id, CAST(CASE WHEN f >= CAST({1 << 63} AS UBIGINT)
+       THEN CAST(f AS HUGEINT) - {M} ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint
+FROM fp
+"""

@@ -375,6 +375,18 @@ def cluster_reps(pairs: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
 
 # ---- SimHash ---------------------------------------------------------------
 
+def _md5_token_hash(tokens: np.ndarray) -> np.ndarray:
+    """uint64 token hash = first 8 md5 bytes read big-endian — exactly
+    ``CAST('0x' || substr(md5(token), 1, 16) AS UBIGINT)`` in DuckDB, so the
+    SimHash oracle can mirror the engine bit-for-bit."""
+    import hashlib
+
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        out[i] = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+    return out
+
+
 def simhash64(texts: list[str]) -> np.ndarray:
     """64-bit SimHash over word features (weight = term frequency)."""
     out = np.empty(len(texts), dtype=np.uint64)
@@ -385,7 +397,7 @@ def simhash64(texts: list[str]) -> np.ndarray:
             out[i] = 0
             continue
         uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        hs = content_hash64(list(uniq))
+        hs = _md5_token_hash(uniq)
         bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
         score = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
         out[i] = np.bitwise_or.reduce(bitcols[score > 0], initial=np.uint64(0))
