@@ -52,6 +52,8 @@ def extract_turns(
     num_buckets: int = 64,
     skip_buckets: set[int] | None = None,
     quarantine: bool = False,
+    max_attempts: int = 1,
+    debug: bool = False,
 ) -> rd.Dataset:
     """The extraction stage graph (lazy).  No shuffle.
 
@@ -82,7 +84,8 @@ def extract_turns(
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractorActor,
-        fn_constructor_kwargs={"quarantine": quarantine},
+        fn_constructor_kwargs={"quarantine": quarantine,
+                               "max_attempts": max_attempts, "debug": debug},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -92,7 +95,8 @@ def extract_turns(
         max_restarts=4,
         max_task_retries=4,
     )
-    cols = OUTPUT_COLUMNS + (["extract_error"] if quarantine else [])
+    cols = (OUTPUT_COLUMNS + (["extract_error"] if quarantine else [])
+            + (["debug_json"] if debug else []))
     return ds.select_columns(cols)
 
 

@@ -75,12 +75,25 @@ class ExtractorActor:
         emit_metrics: bool = True,
         drop_payload: bool = True,
         quarantine: bool = False,
+        max_attempts: int = 1,
+        debug: bool = False,
     ):
         self.text_col = text_col
         self.tool_col = tool_col
         self.out_col = out_col
         self.normalize = normalize
         self.emit_metrics = emit_metrics
+        # Bounded per-row retry budget before quarantine — the reference's
+        # retry-×4 sample loop (generator.py:60-79) / retry-×3 composition
+        # loop (composer.py:177-205) as a policy knob.  Pointless for the
+        # deterministic built-in kernels (attempt 2 fails identically) but
+        # load-bearing for stateful/external kernels (media codecs, model
+        # calls) that subclass and override _kernel.
+        self.max_attempts = max(1, int(max_attempts))
+        # Debug side-output (run_generate.py:26-37,62-80 analog): emit a
+        # per-row debug_json column with the extraction params actually used.
+        self.debug = debug
+        self._attempts: list[int] = []
         # Poison-row quarantine (SURVEY §4.2): when a kind-group kernel throws,
         # re-run that group row-by-row so only the offending rows degrade —
         # they pass through with an ``extract_error`` tag instead of being
@@ -108,6 +121,7 @@ class ExtractorActor:
         tool_np = np.asarray(tool.fill_null("").to_numpy(zero_copy_only=False))
 
         self._errors = [None] * n
+        self._attempts = [1] * n
 
         for kind in np.unique(tool_np):
             idx = np.flatnonzero(tool_np == kind)
@@ -117,14 +131,22 @@ class ExtractorActor:
             except Exception:
                 if not self.quarantine:
                     raise
-                # isolate the poison rows: retry one-by-one, quarantine failures
+                # isolate the poison rows: per-row attempts up to the budget,
+                # then quarantine (retry-then-quarantine policy)
                 vals = []
                 for j, t in enumerate(sub.to_pylist()):
-                    try:
-                        vals.append(self._kernel(pa.array([t], pa.string()), kind)[0])
-                    except Exception as row_err:
-                        vals.append("")
-                        self._errors[idx[j]] = f"{type(row_err).__name__}: {row_err}"
+                    row = pa.array([t], pa.string())
+                    for attempt in range(1, self.max_attempts + 1):
+                        self._attempts[idx[j]] = attempt
+                        try:
+                            vals.append(self._kernel(row, kind)[0])
+                            break
+                        except Exception as row_err:
+                            if attempt == self.max_attempts:
+                                vals.append("")
+                                self._errors[idx[j]] = (
+                                    f"{type(row_err).__name__}: {row_err} "
+                                    f"(after {attempt} attempts)")
             for i, v in zip(idx, vals):
                 out[i] = v
         return out  # type: ignore[return-value]
@@ -154,6 +176,15 @@ class ExtractorActor:
             batch = batch.append_column(
                 "extract_error", pa.array(self._errors, pa.string())
             )
+        if self.debug:
+            tools = batch[self.tool_col].fill_null("").to_pylist()
+            dbg = [
+                json.dumps({"kind": k or "text", "normalize": self.normalize,
+                            "attempts": a, "quarantined": e is not None},
+                           separators=(",", ":"))
+                for k, a, e in zip(tools, self._attempts, self._errors)
+            ]
+            batch = batch.append_column("debug_json", pa.array(dbg, pa.string()))
         if self.drop_payload:
             batch = batch.drop_columns([self.text_col])
         return batch

@@ -182,3 +182,54 @@ def test_extract_turns_quarantine_column(ray_session):
     t = ds.to_pandas()
     assert "extract_error" in t.columns
     assert t["extract_error"].isna().all()  # healthy corpus → no quarantined rows
+
+
+def test_retry_budget_and_debug_column(ray_session):
+    """Per-row retry-then-quarantine budget (the reference's retry-x4 sample
+    loop as a knob) + the debug side-output column."""
+    import json
+
+    import pyarrow as pa
+
+    from manga_ocr_ray.stages.extractor import ExtractorActor
+
+    class Flaky(ExtractorActor):
+        """Kernel that fails the first 2 attempts for a marked row —
+        the transient-external-call shape the budget exists for."""
+
+        def __init__(self, **kw):
+            self.seen: dict[str, int] = {}
+            super().__init__(**kw)
+
+        def _kernel(self, sub, kind):
+            texts = sub.to_pylist()
+            if any("BOOM" in t for t in texts):
+                key = texts[0]
+                self.seen[key] = self.seen.get(key, 0) + 1
+                if self.seen[key] <= 2:
+                    raise RuntimeError("transient")
+            return super()._kernel(sub, kind)
+
+    batch = pa.table({
+        "conv_id": ["c", "c", "c"],
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "text": ["fine text", "has BOOM marker", "also fine"],
+        "tool": ["text", "text", "text"],
+    })
+
+    # budget 3: transient failure recovers on attempt 3, nothing quarantined
+    a3 = Flaky(quarantine=True, max_attempts=3, debug=True, normalize=False)
+    out = a3(batch)
+    errs = out["extract_error"].to_pylist()
+    assert errs == [None, None, None]
+    dbg = [json.loads(x) for x in out["debug_json"].to_pylist()]
+    assert dbg[1]["attempts"] == 3 and dbg[0]["attempts"] == 1
+    assert not dbg[1]["quarantined"]
+
+    # budget 2: exhausted -> quarantined with attempt count, others unharmed
+    a2 = Flaky(quarantine=True, max_attempts=2, debug=True, normalize=False)
+    out2 = a2(batch)
+    errs2 = out2["extract_error"].to_pylist()
+    assert errs2[0] is None and errs2[2] is None
+    assert "after 2 attempts" in errs2[1]
+    assert out2["extracted_text"].to_pylist()[1] == ""
