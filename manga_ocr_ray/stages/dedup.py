@@ -132,9 +132,80 @@ def _perm_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+def _batch_shingle_hashes(texts: pa.Array | pa.ChunkedArray,
+                          ngram: int) -> tuple[np.ndarray, np.ndarray]:
+    """(shingle_hashes uint64, parent doc index) for a whole batch — NO
+    per-doc Python: Arrow tokenization (sentinel-wrap extract-all), one
+    vectorized FNV pass over the token buffer (loops over max token LENGTH,
+    not token count), then n-gram window combining via shifted-array mixes
+    with windows masked at doc boundaries.  Every doc contributes ≥1 shingle
+    (zero-token docs get the 0 shingle; short docs one all-token shingle), so
+    segment starts line up 1:1 with batch rows.
+
+    These signature shingles are an internal identity (recall only); the
+    exact-Jaccard VERIFY stage and its SQL oracle use the string shingles of
+    :func:`_word_ngram_hashes`, which define correctness."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64_array
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    lower = pc.utf8_lower(texts.fill_null(""))
+    wrapped = pc.replace_substring_regex(
+        lower, pattern=f"({SHINGLE_TOKEN_PATTERN})", replacement="\x00\\1\x00")
+    toks = pc.split_pattern(wrapped, "\x00")
+    flat = pc.list_flatten(toks)
+    keep_arr = pc.and_(
+        pc.not_equal(pc.utf8_length(flat), pa.scalar(0)),
+        pc.match_substring_regex(flat, f"^(?:{SHINGLE_TOKEN_PATTERN})$"),
+    )
+    keep = keep_arr.to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(toks).to_numpy()[keep]
+    th = hash64_array(flat.filter(keep_arr))
+    S = th.size
+
+    shingles: list[np.ndarray] = []
+    parents: list[np.ndarray] = []
+    if S >= ngram:
+        # windows fully inside one doc (parent is nondecreasing)
+        m = S - ngram + 1
+        valid = parent[:m] == parent[ngram - 1:]
+        acc = th[:m].copy()
+        for k in range(1, ngram):
+            acc = mix64(acc) + th[k:m + k]
+        shingles.append(mix64(acc)[valid])
+        parents.append(parent[:m][valid])
+    counts = np.bincount(parent, minlength=n) if S else np.zeros(n, dtype=np.int64)
+    short = np.flatnonzero((counts > 0) & (counts < ngram))
+    if short.size:
+        starts = np.searchsorted(parent, short)
+        for d, s in zip(short, starts):  # rare: docs with < ngram tokens
+            seg = th[s:s + counts[d]]
+            acc = seg[0:1].copy()
+            for k in range(1, len(seg)):
+                acc = mix64(acc) + seg[k:k + 1]
+            shingles.append(mix64(acc))
+            parents.append(np.array([d], dtype=parent.dtype))
+    empty_docs = np.flatnonzero(counts == 0)
+    if empty_docs.size:
+        shingles.append(np.zeros(empty_docs.size, dtype=np.uint64))
+        parents.append(empty_docs.astype(parent.dtype if S else np.int64))
+    sh = np.concatenate(shingles) if shingles else np.zeros(0, dtype=np.uint64)
+    par = np.concatenate(parents) if parents else np.zeros(0, dtype=np.int64)
+    order = np.argsort(par, kind="stable")
+    return sh[order], par[order]
+
+
 class MinHashStage:
     """Actor-pool stage: permutation params built once per actor; per batch
-    emits (id, band_0..band_{B-1} fold keys) — the LSH bucketing columns."""
+    emits (id, band_0..band_{B-1} fold keys) — the LSH bucketing columns.
+    Fully vectorized across the batch: Arrow tokenization, numpy FNV token
+    hashes, windowed shingle mixes, and per-doc signature minima via
+    ``np.minimum.reduceat`` in bounded permutation chunks."""
+
+    _PERM_CHUNK = 8  # perms per reduceat pass: 8 × shingles × 8B ≤ ~64MB/batch
 
     def __init__(self, num_hashes: int = 128, bands: int = 16, ngram: int = 3,
                  id_col: str = "doc_id", text_col: str = "text", seed: int = 42):
@@ -144,19 +215,30 @@ class MinHashStage:
         self.id_col, self.text_col = id_col, text_col
         self.a, self.b = _perm_params(num_hashes, seed)
 
-    def signature(self, text: str) -> np.ndarray:
-        return minhash_signature(_word_ngram_hashes(text, self.ngram),
-                                 self.num_hashes, self.a, self.b)
+    def signatures(self, texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """(n_docs, num_hashes) uint64 signature matrix for a batch."""
+        sh, par = _batch_shingle_hashes(texts, self.ngram)
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, self.num_hashes), dtype=np.uint64)
+        # every doc has ≥1 shingle and par is sorted → one segment per doc
+        starts = np.searchsorted(par, np.arange(n))
+        sig = np.empty((self.num_hashes, n), dtype=np.uint64)
+        for c in range(0, self.num_hashes, self._PERM_CHUNK):
+            a_c = self.a[c:c + self._PERM_CHUNK][:, None]
+            b_c = self.b[c:c + self._PERM_CHUNK][:, None]
+            vals = (a_c * sh[None, :] + b_c) % _MERSENNE
+            sig[c:c + self._PERM_CHUNK] = np.minimum.reduceat(vals, starts, axis=1)
+        return sig.T
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].fill_null("").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros(
-            (0, self.num_hashes), dtype=np.uint64)
+        sigs = self.signatures(batch[self.text_col])
+        n = len(sigs)
         # fold each band's r rows into one key
-        band_keys = np.zeros((len(texts), self.bands), dtype=np.uint64)
+        band_keys = np.zeros((n, self.bands), dtype=np.uint64)
         for bi in range(self.bands):
             seg = sigs[:, bi * self.rows : (bi + 1) * self.rows]
-            acc = np.full(len(texts), np.uint64(bi + 1), dtype=np.uint64)
+            acc = np.full(n, np.uint64(bi + 1), dtype=np.uint64)
             for c in range(seg.shape[1]):
                 acc = mix64(acc ^ seg[:, c])
             band_keys[:, bi] = acc
@@ -231,7 +313,9 @@ def minhash_lsh_pairs_ds(
         MinHashStage,
         fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
                                    ngram=ngram, id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency,
+        # coalesce small read blocks: the signature kernel is ~7ms/1k docs,
+        # so per-task overhead dominates under tiny batches
+        batch_format="pyarrow", concurrency=concurrency, batch_size=1024,
     )
 
     # explode to (shard, band, key, id) rows — only these small rows shuffle.
@@ -257,23 +341,14 @@ def minhash_lsh_pairs_ds(
     buckets = banded.map_batches(explode, batch_format="pyarrow")
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return bucket_pairs_vectorized(g, ["band", "key"], id_col, max_bucket=200)
+        # within-shard dedup is free (sorted runs); CROSS-shard duplicates
+        # (the same pair firing in several bands) survive to the verify stage,
+        # whose pshard grouping co-locates all copies of a pair — they are
+        # dropped there, saving a dedicated dedup shuffle here.
+        return bucket_pairs_vectorized(
+            g, ["band", "key"], id_col, max_bucket=200).drop_duplicates()
 
-    # candidate pairs, deduped distributedly (the same pair can fire in
-    # several bands) — pair rows only, a tiny fraction of the corpus.
-    cand = (
-        buckets.groupby("shard")
-        .map_groups(shard_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__nb"))
-        .drop_columns(["__nb"])
-        .materialize()  # pair set only; re-used by two joins below
-    )
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "jaccard": pd.Series([], dtype="float64")})
-    if cand.count() == 0:
-        return rd.from_pandas(empty)
+    cand = buckets.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
 
     # Attach both texts with ONE hash-partitioned join: explode each pair to
     # two (side, lookup_id) rows, join texts on lookup_id, then reassemble
@@ -308,8 +383,10 @@ def minhash_lsh_pairs_ds(
                               "jaccard": pd.Series([], dtype="float64")})
         if len(g) == 0 or "side" not in g.columns:
             return empty
-        a = g[g["side"] == 0][["id_a", "id_b", text_col]]
-        b = g[g["side"] == 1][["id_a", "id_b", text_col]]
+        # all copies of a pair (one per band it fired in) land in this shard:
+        # drop duplicates BEFORE the expensive shingling
+        a = g[g["side"] == 0][["id_a", "id_b", text_col]].drop_duplicates(["id_a", "id_b"])
+        b = g[g["side"] == 1][["id_a", "id_b", text_col]].drop_duplicates(["id_a", "id_b"])
         m = a.merge(b, on=["id_a", "id_b"], suffixes=("_l", "_r"))
         if m.empty:
             return empty
