@@ -75,7 +75,9 @@ def _q_transcript_extract(sf_dir: str):
     from manga_ocr_ray.pipelines.extract import extract_turns
 
     ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet")
-    out = extract_turns(ds, batch_size=1024, num_buckets=64)
+    # oracle-scale corpus (~4k rows): a small autoscaling pool, not the
+    # cluster-sized default meant for the headline corpus
+    out = extract_turns(ds, batch_size=1024, num_buckets=64, concurrency=(1, 4))
     return out.select_columns(["conv_id", "turn_idx", "extracted_text"])
 
 
@@ -90,7 +92,8 @@ def _q_transcript_merge(sf_dir: str):
     from manga_ocr_ray.pipelines.extract import conversation_merge, extract_turns
 
     ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet")
-    return conversation_merge(extract_turns(ds, num_buckets=16), chunk_size=64)
+    return conversation_merge(
+        extract_turns(ds, num_buckets=16, concurrency=(1, 4)), chunk_size=64)
 
 
 _Q_TRANSCRIPT_MERGE_SQL = f"""
