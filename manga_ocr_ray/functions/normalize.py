@@ -20,7 +20,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from .h2z import h2z, h2z_join_translate
+from .h2z import DAKUTEN_PAIRS, h2z, h2z_join_translate
+from .h2z import _H2Z as _H2Z_TABLE
 
 # Exactly the set of codepoints for which str.isspace() is True (what
 # str.split() splits on).  NUL is not in the set, so the \x00 row separator
@@ -44,8 +45,9 @@ def post_process(text: str) -> str:
     return h2z(text)
 
 
-def normalize_texts(texts: list[str]) -> list[str]:
-    """Batch normalize: 4 C-level passes over the joined batch string."""
+def normalize_texts_joined(texts: list[str]) -> list[str]:
+    """Reference batch path: 4 C-level passes over the joined batch string.
+    Kept as the semantic twin the numpy path is property-tested against."""
     if not texts:
         return []
     if any(_SEP in t for t in texts):
@@ -55,6 +57,90 @@ def normalize_texts(texts: list[str]) -> list[str]:
     big = _RE_DOTS.sub("...", big)
     big = big.replace("…", "...")
     return h2z_join_translate([big])[0].split(_SEP) if big else [""] * len(texts)
+
+
+# --- numpy codepoint-array fast path ---------------------------------------
+# One utf-32 decode, then every rule is a vectorized LUT/mask pass over the
+# uint32 codepoint array (~2x the regex+translate path, which was 52% of
+# per-turn extraction cost).  Astral codepoints (>0xFFFF) are untouched by
+# every rule, exactly like the string path.
+
+_LUT_N = 0x10000
+_WS_LUT = np.zeros(_LUT_N, dtype=bool)
+_WS_LUT[np.array(WHITESPACE_CODEPOINTS)] = True
+_H2Z_LUT = np.arange(_LUT_N, dtype=np.uint32)
+for _k, _v in _H2Z_TABLE.items():
+    _H2Z_LUT[_k] = _v
+# dakuten/handakuten compose: composed[base] per mark kind (0 = no compose)
+_VOICED_LUT = np.zeros(_LUT_N, dtype=np.uint32)
+_SEMI_LUT = np.zeros(_LUT_N, dtype=np.uint32)
+for _pair, _full in DAKUTEN_PAIRS:
+    lut = _VOICED_LUT if _pair[1] == "ﾞ" else _SEMI_LUT
+    lut[ord(_pair[0])] = ord(_full)
+_DOT, _NAKAGURO, _ELLIPSIS = 0x2E, 0x30FB, 0x2026
+
+
+def _normalize_codepoints(arr: np.ndarray) -> np.ndarray:
+    """post_process over a uint32 codepoint array (NUL row separators pass
+    through every rule: not whitespace, not a dot, not composable).
+
+    Every table lookup uses ``ndarray.take(mode='clip')`` — measured ~10x
+    faster than boolean-masked fancy indexing in this numpy build; astral
+    codepoints clip to slot 0xFFFF, which is identity/False in every LUT."""
+    # 1. whitespace squash (removal — run structure is irrelevant)
+    ws = _WS_LUT.take(arr, mode="clip")
+    if ws.any():
+        arr = arr[~ws]
+    # 2+3. [・.]{2,} -> "..." and "…" -> "..." (length-changing: one repeat)
+    m = (arr == _DOT) | (arr == _NAKAGURO)
+    ell = arr == _ELLIPSIS
+    if m.any() or ell.any():
+        prev = np.empty(arr.shape, dtype=bool)
+        nxt = np.empty(arr.shape, dtype=bool)
+        prev[0], prev[1:] = False, m[:-1]
+        nxt[-1], nxt[:-1] = False, m[1:]
+        run2 = m & (prev | nxt)          # members of runs with length >= 2
+        start2 = run2 & ~prev            # first char of each such run
+        counts = np.ones(arr.shape, dtype=np.int8)
+        counts[run2] = 0
+        counts[start2] = 3
+        counts[ell] = 3
+        arr = arr.copy()
+        arr[start2] = _DOT
+        arr[ell] = _DOT
+        arr = np.repeat(arr, counts)
+    # 4a. dakuten/handakuten pair compose (2 codepoints -> 1), then
+    # 4b. single-codepoint half->full translate
+    if arr.size:
+        voiced = arr == 0xFF9E
+        semi = arr == 0xFF9F
+        if voiced.any() or semi.any():
+            prev_cp = np.empty(arr.shape, dtype=np.uint32)
+            prev_cp[0], prev_cp[1:] = 0, arr[:-1]
+            comp = np.where(voiced, _VOICED_LUT.take(prev_cp, mode="clip"), 0)
+            comp = np.where(semi, _SEMI_LUT.take(prev_cp, mode="clip"), comp)
+            hit = comp != 0
+            if hit.any():
+                idx = np.flatnonzero(hit)
+                arr = arr.copy()
+                arr[idx - 1] = comp[idx]
+                keep = np.ones(arr.shape, dtype=bool)
+                keep[idx] = False
+                arr = arr[keep]
+        arr = np.where(arr < _LUT_N, _H2Z_LUT.take(arr, mode="clip"), arr)
+    return arr
+
+
+def normalize_texts(texts: list[str]) -> list[str]:
+    """Batch normalize on the codepoint array (see _normalize_codepoints)."""
+    if not texts:
+        return []
+    if any(_SEP in t for t in texts):
+        return [post_process(t) for t in texts]
+    big = _SEP.join(texts)
+    arr = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+    arr = _normalize_codepoints(arr)
+    return arr.astype("<u4").tobytes().decode("utf-32-le").split(_SEP)
 
 
 def normalize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -73,3 +73,28 @@ def test_batch_equals_scalar(texts):
 @given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=30), max_size=5))
 def test_h2z_batch_equals_scalar(texts):
     assert h2z_join_translate(texts) == [h2z(t) for t in texts]
+
+
+def test_numpy_normalize_matches_joined_and_scalar():
+    """The codepoint-array fast path is property-tested against BOTH the
+    joined-string batch path and the scalar reference on adversarial and
+    randomized inputs (runs, pairs, astral chars, separators-adjacent)."""
+    import random
+
+    from manga_ocr_ray.functions.normalize import (
+        normalize_texts, normalize_texts_joined, post_process)
+
+    cases = [
+        "", " ", "a b\tc\nd", "テ ス ト", "日本語。。。x", "・・・", "・", ".", "..",
+        "….", "…", "……", ".・.", "a…・.b", "ｶﾞｷﾞｸﾞ", "ｳﾞｧ", "ﾊﾟﾋﾟ", "ﾞ", "ﾟｱ",
+        "ｶﾞﾞ", "ｶｶﾞ", "abc123!~", " ﾞ ｶ ﾞ", "　 x y", "𝕏😀 . . 𝕏", "ーｰ",
+        "\U0001F600…", "ｻﾞｼﾞｽﾞｾﾞｿﾞﾀﾞﾁﾞﾂﾞﾃﾞﾄﾞﾊﾞﾋﾞﾌﾞﾍﾞﾎﾞﾊﾟﾋﾟﾌﾟﾍﾟﾎﾟ",
+    ]
+    assert (normalize_texts(cases) == normalize_texts_joined(cases)
+            == [post_process(t) for t in cases])
+
+    rng = random.Random(7)
+    alphabet = list("aA1 .・…ｶﾞﾟｱﾊ\t\n　ガ。ー𝕏😀ﾞ")
+    batch = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+             for _ in range(3000)]
+    assert normalize_texts(batch) == normalize_texts_joined(batch)
