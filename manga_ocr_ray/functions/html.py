@@ -50,10 +50,20 @@ _ENTITY_STEPS: list[tuple[str, str]] = [
 MAX_LINK_DENSITY = 0.4
 
 _BOILERPLATE_TAGS = ("head", "nav", "header", "footer", "aside")
-_BOILERPLATE_RE = [
-    re.compile(rf"(?is)<{t}\b[^>]*>.*?</{t}>") for t in _BOILERPLATE_TAGS
+
+# whole-document region passes, fused into ONE alternation (RE2 has no
+# backreferences, so each region keeps its own open..close alternative).
+# Equivalent to running the passes sequentially on well-formed regions:
+# leftmost-first alternation consumes whichever region opens first, exactly
+# like the earliest sequential pass that would have matched there; every
+# replacement is " ".  One scan per document instead of nine.
+_PRE_STEPS_RE2: list[str] = [p for p, _ in _STRIP_STEPS[:4]] + [
+    rf"(?is)<{t}\b[^>]*>.*?</{t}>" for t in _BOILERPLATE_TAGS
 ]
-_PRE_RE = [re.compile(p, 0) for p, _ in _STRIP_STEPS[:4]]
+_PRE_FUSED = "(?is)(?:" + "|".join(
+    p.replace("(?s)", "").replace("(?is)", "") for p in _PRE_STEPS_RE2
+) + ")"
+_PRE_FUSED_PY = re.compile(_PRE_FUSED)
 _BLOCK_SPLIT_RE = re.compile(
     r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|main|article|section|"
     r"body|html|head|blockquote|pre|br)\b[^>]*>"
@@ -90,22 +100,35 @@ def _decode_entities(text: str) -> str:
     return text
 
 
-def _extract_blocks(html: str) -> str:
-    """Block classification for ONE pre-stripped document (comments/script/
-    style/rt/boilerplate regions already removed): split into DOM blocks →
-    drop empty / link-dense blocks → strip inline tags → decode entities →
-    join blocks with newlines."""
-    blocks = _BLOCK_SPLIT_RE.split(html)
+# Anchor text is wrapped in \x02..\x03 markers BEFORE tags are stripped, with
+# a space on each side standing in for the removed <a>/</a> tags, so the kept
+# text is byte-identical to the old per-block _TAG_RE.sub(" ") path.  Block
+# boundary tags become \x00.  All three passes are RE2 kernels; the per-row
+# remainder is C-level str.find/split only.
+_ANCHOR_WRAP_PAT = r"(?is)<a\b[^>]*>(.*?)</a>"
+_TAG_PAT = r"(?s)<[^>]*>"
+
+
+def _classify_blocks(marked: str) -> str:
+    """Density classification for ONE marker-annotated, tag-stripped doc:
+    \x00 = block boundary, \x02..\x03 = anchor text (each marker carries one
+    stand-in space inside).  Drop empty and link-dense blocks, decode
+    entities, join with newlines."""
     kept: list[str] = []
-    for block in blocks:
-        has_tag = "<" in block
-        if has_tag and ("<a" in block or "<A" in block):
-            anchor_chars = sum(
-                len(_TAG_RE.sub("", m)) for m in _ANCHOR_RE.findall(block)
-            )
+    for block in marked.split("\x00"):
+        if "\x02" in block:
+            anchor_chars = 0
+            i = block.find("\x02")
+            while i != -1:
+                j = block.find("\x03", i + 1)
+                if j == -1:
+                    break  # anchor split across blocks: not counted (as before)
+                anchor_chars += max(0, j - i - 3)  # minus the 2 stand-in spaces
+                i = block.find("\x02", j + 1)
+            text = block.replace("\x02", "").replace("\x03", "")
         else:
             anchor_chars = 0
-        text = _TAG_RE.sub(" ", block) if has_tag else block
+            text = block.replace("\x03", "")
         stripped = text.strip()
         if not stripped:
             continue
@@ -115,36 +138,35 @@ def _extract_blocks(html: str) -> str:
     return "\n".join(kept)
 
 
+_ANCHOR_WRAP_PY = re.compile(_ANCHOR_WRAP_PAT)
+_TAG_PY = re.compile(_TAG_PAT)
+
+
 def extract_main_html(html: str) -> str:
-    """Main-content extraction for ONE document.
-
-    Steps: drop comments/script/style/rt → drop boilerplate-tagged regions →
-    :func:`_extract_blocks`.  The batched hot path is
-    :func:`extract_main_html_array`, which runs the 9 whole-document regex
-    passes as RE2 Arrow kernels instead of per-row Python.
-    """
-    for rx in _PRE_RE:
-        html = rx.sub(" ", html)
-    for rx in _BOILERPLATE_RE:
-        html = rx.sub(" ", html)
-    return _extract_blocks(html)
-
-
-# whole-document passes for the vectorized path, in extract_main_html order
-_PRE_STEPS_RE2: list[str] = [p for p, _ in _STRIP_STEPS[:4]] + [
-    rf"(?is)<{t}\b[^>]*>.*?</{t}>" for t in _BOILERPLATE_TAGS
-]
+    """Main-content extraction for ONE document — same four passes as the
+    batched path (exact twins): fused region strip → anchor marking → block
+    boundaries → tag strip → density classification."""
+    html = _PRE_FUSED_PY.sub(" ", html)
+    html = _ANCHOR_WRAP_PY.sub("\x02 \\1 \x03", html)
+    html = _BLOCK_SPLIT_RE.sub("\x00", html)
+    html = _TAG_PY.sub(" ", html)
+    return _classify_blocks(html)
 
 
 def extract_main_html_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Batched main-content extraction: the 9 whole-document strip passes run
-    vectorized (RE2 kernels over the whole array); only the per-block
-    text/link-density classification stays per-row Python."""
-    for pat in _PRE_STEPS_RE2:
-        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=" ")
+    """Batched main-content extraction: all four document passes run as RE2
+    Arrow kernels (fused region strip, anchor marking, block boundaries, tag
+    strip); the per-row remainder (:func:`_classify_blocks`) is C-level
+    string ops only — no Python regex in the hot path."""
+    arr = pc.replace_substring_regex(arr, pattern=_PRE_FUSED, replacement=" ")
+    arr = pc.replace_substring_regex(arr, pattern=_ANCHOR_WRAP_PAT,
+                                     replacement="\x02 \\1 \x03")
+    arr = pc.replace_substring_regex(arr, pattern=_BLOCK_SPLIT_RE.pattern,
+                                     replacement="\x00")
+    arr = pc.replace_substring_regex(arr, pattern=_TAG_PAT, replacement=" ")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return pa.array([_extract_blocks(t) for t in arr.to_pylist()], pa.string())
+    return pa.array([_classify_blocks(t) for t in arr.to_pylist()], pa.string())
 
 
 def extract_main_html_batch(texts: list[str]) -> list[str]:
