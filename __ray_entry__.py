@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registry_clean": _q_registry_clean,
         "spec_clean": _q_spec_clean,
         "doc_top_tokens": D.q_doc_top_tokens,
+        "doc_repetition": D.q_doc_repetition,
+        "doc_scrub_urls": D.q_doc_scrub_urls,
+        "doc_charset_coverage": D.q_doc_charset_coverage,
         # training-data operators
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_minhash_keep": D.q_doc_minhash_keep,
@@ -513,6 +516,9 @@ def oracle_sql() -> dict[str, str]:
         "registry_clean": _registry_clean_sql(),
         "spec_clean": _registry_clean_sql(),
         "doc_top_tokens": D.Q_DOC_TOP_TOKENS_SQL,
+        "doc_repetition": D.Q_DOC_REPETITION_SQL,
+        "doc_scrub_urls": D.Q_DOC_SCRUB_URLS_SQL,
+        "doc_charset_coverage": D.Q_DOC_CHARSET_COVERAGE_SQL,
         "doc_normalize": D.Q_DOC_NORMALIZE_SQL,
         "doc_strip_html": D.q_doc_strip_html_sql(),
         "doc_flatten_pdf": D.q_doc_flatten_pdf_sql(),

@@ -123,16 +123,58 @@ def lang_id(text: str) -> str:
 
 
 class LangIdStage:
-    """Actor-pool stage: stopword sets/regexes built once per actor."""
+    """Actor-pool stage: per-batch VECTORIZED language ID — the CJK counts
+    and the per-language stopword scores are RE2 count kernels over the whole
+    column; only the argmax/threshold decision runs in numpy.  Patterns are
+    compiled once per actor in ``__init__``.  Semantics identical to the
+    scalar :func:`lang_id` (and its SQL mirror), pinned by pytest."""
+
+    _KANA = r"[\x{3040}-\x{30ff}\x{ff66}-\x{ff9f}]"
+    _HAN = r"[\x{4e00}-\x{9fff}]"
+    _HANGUL = r"[\x{ac00}-\x{d7a3}]"
+    _WORD = r"[\p{L}]+"
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
         self.out_col = out_col
-        self.sets = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self.langs = list(_LANG_STOPWORDS)
+        # \b word-bounded alternation over each language's stopword list,
+        # case-insensitive — identical hit count to the set-membership loop
+        # because stopwords are plain ascii words
+        self.stop_pats = {
+            lang: r"(?i)\b(?:" + "|".join(stops) + r")\b"
+            for lang, stops in _LANG_STOPWORDS.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [lang_id(t or "") for t in batch[self.text_col].to_pylist()]
-        return batch.append_column(self.out_col, pa.array(preds, pa.string()))
+        text = batch[self.text_col].fill_null("")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+
+        def cnt(pat: str) -> np.ndarray:
+            return pc.count_substring_regex(text, pattern=pat).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+
+        n = np.maximum(pc.utf8_length(text).to_numpy(zero_copy_only=False), 1)
+        kana, han, hangul = cnt(self._KANA), cnt(self._HAN), cnt(self._HANGUL)
+        n_words = cnt(self._WORD)
+        scores = np.stack([cnt(self.stop_pats[lang]) for lang in self.langs])
+        best_i = scores.argmax(axis=0)  # first-in-dict-order wins ties
+        best_s = scores.max(axis=0)
+        # non-ascii LETTERS ([^ascii ∪ non-letter] = letters outside ascii):
+        # >0 iff some word is non-ascii, the scalar fallback's condition
+        non_ascii_word = cnt(r"[^\x00-\x7f\P{L}]")
+
+        preds = np.full(len(text), "und", dtype=object)
+        latin = np.where(best_s > 0,
+                         np.array(self.langs, dtype=object)[best_i], "und")
+        # fallback: every word pure-ascii -> 'en'
+        latin = np.where((best_s == 0) & (non_ascii_word == 0), "en", latin)
+        preds = np.where(n_words == 0, "und", latin)
+        preds = np.where(han / n > 0.05, "zh", preds)
+        preds = np.where(hangul / n > 0.05, "ko", preds)
+        preds = np.where(kana / n > 0.05, "ja", preds)
+        return batch.append_column(self.out_col, pa.array(list(preds), pa.string()))
 
 
 # ---- document fingerprint (rolling-hash shingle sketch) -------------------

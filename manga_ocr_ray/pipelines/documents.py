@@ -361,3 +361,122 @@ SELECT doc_id, CAST(CASE WHEN f >= CAST({1 << 63} AS UBIGINT)
        THEN CAST(f AS HUGEINT) - {M} ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint
 FROM fp
 """
+
+
+# ---- repetition detection (dup n-gram ratio; Gopher/RefinedWeb-style) ------
+
+def q_doc_repetition(sf_dir: str) -> rd.Dataset:
+    """Per-doc duplicate word-3gram fraction: 1 - distinct/total — the
+    standard repetition quality signal for training-data filtering.  Engine
+    counts hashed token-window shingles (vectorized, no per-doc Python); the
+    oracle counts string n-grams — equal up to 64-bit hash collisions, which
+    the value gate would expose."""
+    from ..stages.dedup import _batch_shingle_hashes
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        sh, par = _batch_shingle_hashes(t["text"], 3)
+        n = t.num_rows
+        total = np.bincount(par, minlength=n).astype(np.float64)
+        # distinct per doc: sort (par, sh) then count run starts per segment
+        order = np.lexsort((sh, par))
+        ps, ss = par[order], sh[order]
+        new = np.empty(ps.shape, dtype=bool)
+        if len(ps):
+            new[0] = True
+            new[1:] = (ps[1:] != ps[:-1]) | (ss[1:] != ss[:-1])
+        distinct = np.bincount(ps[new], minlength=n).astype(np.float64)
+        ratio = 1.0 - distinct / np.maximum(total, 1.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ngrams": pa.array(total.astype(np.int64)),
+            "dup_ngram_ratio": pa.array(ratio),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+Q_DOC_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '{SHINGLE_TOKEN_PATTERN}') ws FROM documents),
+grams AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_transform(generate_series(1, len(ws)-2),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 END AS gs
+          FROM toks)
+SELECT doc_id, len(gs) AS n_ngrams,
+       1.0 - len(list_distinct(gs)) * 1.0 / greatest(len(gs), 1) AS dup_ngram_ratio
+FROM grams
+"""
+
+
+# ---- URL / email scrub (PII-lite pipeline op) ------------------------------
+
+_URL_PAT = r"https?://[^ \t\n]+"
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# deterministic injected tail so the kernels are genuinely exercised on the
+# url-free documents table (same trick as the HTML/PDF wrap queries)
+_SCRUB_TAIL = " see https://example.com/a?b=1#f and mail bob.smith+x@ex.co.jp ."
+
+
+def q_doc_scrub_urls(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            t["text"].combine_chunks(), pa.scalar(_SCRUB_TAIL), "")
+        n_urls = pc.cast(pc.count_substring_regex(text, pattern=_URL_PAT), pa.int64())
+        n_emails = pc.cast(pc.count_substring_regex(text, pattern=_EMAIL_PAT), pa.int64())
+        out = pc.replace_substring_regex(text, pattern=_URL_PAT, replacement="<URL>")
+        out = pc.replace_substring_regex(out, pattern=_EMAIL_PAT, replacement="<EMAIL>")
+        return pa.table({"doc_id": t["doc_id"], "n_urls": n_urls,
+                         "n_emails": n_emails, "scrubbed": out})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+Q_DOC_SCRUB_URLS_SQL = f"""
+WITH w AS (SELECT doc_id, text || '{_SCRUB_TAIL.replace("'", "''")}' AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_URL_PAT}')) AS n_urls,
+       len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_emails,
+       regexp_replace(regexp_replace(text, '{_URL_PAT}', '<URL>', 'g'),
+                      '{_EMAIL_PAT}', '<EMAIL>', 'g') AS scrubbed
+FROM w
+"""
+
+
+# ---- charset coverage predicate (M21: the font-support check) --------------
+
+# "Font charset": printable ASCII, CJK punctuation + kana, han, full/half-
+# width forms, ellipsis — per-char membership like the reference's
+# is_char_font_supported (utils.py) with a fixed charset.
+SUPPORTED_CLASS = (
+    r"[ -~\x{3000}-\x{30ff}\x{4e00}-\x{9fff}\x{ff01}-\x{ff9f}\x{2026}]"
+)
+
+
+def q_doc_charset_coverage(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    neg = SUPPORTED_CLASS.replace("[", "[^", 1)
+
+    def cov(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_unsupported = pc.cast(
+            pc.count_substring_regex(text, pattern=neg), pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_unsupported": n_unsupported,
+            "is_supported": pc.equal(n_unsupported, pa.scalar(0, pa.int64())),
+        })
+
+    return ds.map_batches(cov, batch_format="pyarrow")
+
+
+Q_DOC_CHARSET_COVERAGE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{SUPPORTED_CLASS.replace("[", "[^", 1)}')) AS n_unsupported,
+       len(regexp_extract_all(text, '{SUPPORTED_CLASS.replace("[", "[^", 1)}')) = 0 AS is_supported
+FROM documents
+"""

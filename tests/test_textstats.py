@@ -91,3 +91,36 @@ def test_hashing_stability_and_buckets():
     assert h2[0] == h[0]
     c = content_hash64(["x" * 10000, "x" * 10000, "y"])
     assert c[0] == c[1] != c[2]
+
+
+def test_repetition_scrub_charset_ops(ray_session):
+    """The three round-2 training-data ops on planted fixtures."""
+    import pandas as pd
+    import ray.data as rd
+
+    import manga_ocr_ray.pipelines.documents as D
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam spam spam spam spam spam spam spam",
+                 "all words here are totally different from each other ok",
+                 "日本語 text ©strange"],
+    })
+    import pyarrow.parquet as pq
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(__import__("pyarrow").Table.from_pandas(pdf), f"{d}/documents.parquet")
+
+    rep = D.q_doc_repetition(d).to_pandas().set_index("doc_id")
+    assert rep.loc[1, "dup_ngram_ratio"] > 0.8   # one repeated 3-gram
+    assert rep.loc[2, "dup_ngram_ratio"] == 0.0  # all distinct
+
+    scrub = D.q_doc_scrub_urls(d).to_pandas().set_index("doc_id")
+    assert (scrub["n_urls"] == 1).all() and (scrub["n_emails"] == 1).all()
+    assert "<URL>" in scrub.loc[1, "scrubbed"] and "<EMAIL>" in scrub.loc[1, "scrubbed"]
+    assert "https://" not in scrub.loc[1, "scrubbed"]
+
+    cov = D.q_doc_charset_coverage(d).to_pandas().set_index("doc_id")
+    assert bool(cov.loc[1, "is_supported"]) and bool(cov.loc[2, "is_supported"])
+    assert not bool(cov.loc[3, "is_supported"])  # © outside the charset
+    assert cov.loc[3, "n_unsupported"] == 1
