@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational operator coverage (SURVEY §2: M4-M10, G1-G3, O1-O6, U1, J1/J2)
         "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
         "filter_project": R.q_filter_project,
         "region_customer_count": R.q_region_customer_count,
         "top_customers": R.q_top_customers,
@@ -492,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q1_pricing_summary": R.Q1_SQL,
+        "q3_shipping_priority": R.Q3_SQL,
         "filter_project": R.Q_FILTER_PROJECT_SQL,
         "region_customer_count": R.Q_REGION_CUSTOMER_COUNT_SQL,
         "top_customers": R.Q_TOP_CUSTOMERS_SQL,

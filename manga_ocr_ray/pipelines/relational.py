@@ -726,3 +726,70 @@ SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.75) AS p75
 FROM orders GROUP BY o_orderpriority
 """
+
+
+# ---- 3-way join chain (TPC-H Q3 shape): semi + inner + grouped agg ---------
+
+def q3_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """Top-10 unshipped BUILDING orders by revenue — the chained-join shape
+    (customer ⋈ orders ⋈ lineitem).  The small filtered side reduces to a
+    semi join; revenue aggregates in exact int64 cents (float Sum order is
+    nondeterministic across blocks).  Join partition counts stay at
+    _join_partitions() — oversubscribing hash-shuffle aggregator actors past
+    the CPU budget can wedge the pipeline on small clusters."""
+    cutoff = pd.Timestamp("1995-03-15")
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                      "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow")
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount",
+                                  "l_shipdate"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        r = pc.multiply(_cents(t["l_extendedprice"]),
+                        pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    n = _join_partitions()
+    j1 = orders.join(cust, join_type="left_semi", num_partitions=n,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j2 = j1.join(li, join_type="inner", num_partitions=n,
+                 on=("o_orderkey",), right_on=("l_orderkey",))
+    agg = j2.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("rev_e4", alias_name="sum_rev_e4"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["sum_rev_e4"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "revenue": r / 10000.0,
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
