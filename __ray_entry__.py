@@ -303,6 +303,40 @@ def _q_orders_quantiles_approx_grouped(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Per-dim min/max scalar quantization to 0..254 (int8-style compression
+    for embedding columns) — exploded (vec_id, dim, q) rows."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import quantize_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
+
+
+_Q_EMBEDDING_QUANTIZE_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS value
+  FROM embeddings),
+rng AS (SELECT dim, min(value) AS lo, greatest(max(value) - min(value), 1e-30) AS span
+        FROM ex GROUP BY dim)
+SELECT ex.vec_id, ex.dim,
+       CAST(floor((ex.value - rng.lo) / rng.span * 254 + 0.5) AS BIGINT) AS q
+FROM ex JOIN rng ON ex.dim = rng.dim
+"""
+
+
+def _q_embedding_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means with integer-quantized partial sums —
+    deterministic at any cluster size (rows-only: iterative, no SQL twin;
+    quality + determinism pytest-pinned)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import kmeans_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_embeddings(ds, k=8, iters=4)
+
+
 def _q_embedding_centroids(sf_dir: str):
     """Per-label mean embedding as (label, dim, centroid) scalar rows —
     vector aggregation where only scalar partials shuffle."""
@@ -437,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.q_events_hourly,
         "events_props": R.q_events_props,
         "events_sessions": R.q_events_sessions,
+        "events_session_ids": R.q_events_session_ids,
         "top_parts_per_brand": R.q_top_parts_per_brand,
         "doc_split": R.q_doc_split,
         "order_revenue_join": R.q_order_revenue_join,
@@ -477,6 +512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_ivf_topk": _q_embedding_ivf_topk,
         "embedding_centroids": _q_embedding_centroids,
+        "embedding_quantize": _q_embedding_quantize,
+        "embedding_kmeans": _q_embedding_kmeans,
         # multimodal plumbing (stubbed codec, real actor-pool pipeline)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -502,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": R.Q_EVENTS_HOURLY_SQL,
         "events_props": R.Q_EVENTS_PROPS_SQL,
         "events_sessions": R.Q_EVENTS_SESSIONS_SQL,
+        "events_session_ids": R.Q_EVENTS_SESSION_IDS_SQL,
         "top_parts_per_brand": R.Q_TOP_PARTS_PER_BRAND_SQL,
         "doc_split": R.Q_DOC_SPLIT_SQL,
         "order_revenue_join": R.Q_ORDER_REVENUE_JOIN_SQL,
@@ -536,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _Q_EMBEDDING_NEAR_DUP_SQL,
         "embedding_near_dup_lsh": _Q_EMBEDDING_NEAR_DUP_SQL,
         "embedding_centroids": _Q_EMBEDDING_CENTROIDS_SQL,
+        "embedding_quantize": _Q_EMBEDDING_QUANTIZE_SQL,
         "transcript_extract": _Q_TRANSCRIPT_EXTRACT_SQL,
         "transcript_merge": _Q_TRANSCRIPT_MERGE_SQL,
         "transcript_cjk_stats": _transcript_cjk_stats_sql(),

@@ -793,3 +793,35 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
+
+
+# ---- session-id assignment (per-event window labeling) ---------------------
+
+def q_events_session_ids(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Each event labeled with its 0-based session index within its user
+    (gap > 30min starts a new session).  Shard-grouped vectorized cumsum —
+    the per-event twin of q_events_sessions' per-user counts."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_sess = (g.groupby("user_id")["ts"].diff() > gap).astype("int64")
+        sidx = new_sess.groupby(g["user_id"]).cumsum()
+        return pd.DataFrame({"event_id": g["event_id"], "session_idx": sidx})
+
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        label, batch_format="pandas")
+
+
+Q_EVENTS_SESSION_IDS_SQL = """
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT event_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM gaps
+"""

@@ -391,3 +391,138 @@ def label_centroids(ds: rd.Dataset, *, id_col: str = "vec_id",
         .groupby(["label", "dim"])
         .aggregate(Mean("value", alias_name="centroid"))
     )
+
+
+def quantize_embeddings(ds: rd.Dataset, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", levels: int = 255) -> rd.Dataset:
+    """Scalar int8-style quantization: per-DIM min/max from a combining
+    groupby over exploded scalars (only (dim, partial) rows shuffle), ranges
+    broadcast once, then each batch quantizes with one numpy pass.
+    q = floor((x - min_d) / (max_d - min_d) * (levels - 1) + 0.5) — floor
+    (not round) so the engine and the SQL oracle agree at ties.
+    Returns exploded (id, dim, q) rows (oracle-friendly layout)."""
+    from ray.data.aggregate import Max, Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        m = _mat(t[vec_col])
+        n, d = m.shape
+        return pa.table({
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "value": pa.array(m.ravel()),
+        })
+
+    ranges = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    lo = ranges["lo"].to_numpy()
+    span = np.maximum(ranges["hi"].to_numpy() - lo, 1e-30)
+    ref = ray.put((lo, span))
+
+    def quant(t: pa.Table) -> pa.Table:
+        lo_b, span_b = ray.get(ref)
+        m = _mat(t[vec_col])
+        n, d = m.shape
+        q = np.floor((m - lo_b[None, :]) / span_b[None, :] * (levels - 1) + 0.5)
+        ids = np.repeat(t[id_col].combine_chunks().to_numpy(), d)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "q": pa.array(q.ravel().astype(np.int64)),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def kmeans_embeddings(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pd.DataFrame":
+    """Distributed Lloyd's k-means, DETERMINISTIC at any cluster size:
+
+    - init: the k rows with the smallest mix64(id) (a seeded sample chosen by
+      a pure function of ids, not block order),
+    - assign+accumulate: one map_batches pass per iteration emits per-batch
+      per-cluster partial sums QUANTIZED to int64 (value*2^20 rounded) —
+      integer partials make the reduction order-independent, so centroids are
+      bit-identical run to run (the float-Sum lesson from the oracle gate),
+    - reduce: combining groupby over (cluster, dim) partials — k*d tiny rows.
+
+    Returns (cluster, dim, centroid, n_members).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import mix64
+
+    d = len(ds.take(1)[0][vec_col])
+    n_seed = (
+        ds.map_batches(
+            lambda t: pa.table({
+                "__pri": pa.array(mix64(t[id_col].combine_chunks().to_numpy()
+                                        .astype(np.uint64)).astype(np.int64)),
+                id_col: t[id_col], vec_col: t[vec_col],
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("__pri")
+        .limit(k)
+        .to_pandas()
+    )
+    cent = _unit(_mat(pa.chunked_array([pa.array(list(n_seed[vec_col]))])))
+    SCALE = np.float64(1 << 20)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _unit(_mat(t[vec_col]))
+            assign = np.argmax(m @ c.T, axis=1)
+            rows_c, rows_d, rows_s, rows_n = [], [], [], []
+            # quantize each VECTOR before summing: integer partials are
+            # order- and batch-boundary-independent (rounding after a float
+            # sum would still vary with partitioning)
+            mq = np.round(m * SCALE).astype(np.int64)
+            for ci in np.unique(assign):
+                mm = mq[assign == ci]
+                rows_c.append(np.full(d, ci, dtype=np.int64))
+                rows_d.append(np.arange(d, dtype=np.int64))
+                rows_s.append(mm.sum(axis=0))
+                rows_n.append(np.full(d, len(mm), dtype=np.int64))
+            return pa.table({
+                "cluster": pa.array(np.concatenate(rows_c)),
+                "dim": pa.array(np.concatenate(rows_d)),
+                "s_e20": pa.array(np.concatenate(rows_s)),
+                "n": pa.array(np.concatenate(rows_n)),
+            })
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s_e20", alias_name="s"), Sum("n", alias_name="cnt"))
+            .to_pandas()
+            .sort_values(["cluster", "dim"])
+        )
+        new = cent.copy()
+        for ci, sub in agg.groupby("cluster"):
+            # cnt per (cluster, dim) row is already the cluster's total
+            # member count (each batch emits n once per dim)
+            vec = (sub["s"].to_numpy() / SCALE) / np.maximum(sub["cnt"].to_numpy(), 1)
+            new[int(ci)] = vec
+        cent = _unit(new)
+
+    rows = []
+    for ci in range(len(cent)):
+        sub = agg[agg["cluster"] == ci]
+        members = int(sub["cnt"].iloc[0]) if len(sub) else 0
+        for di in range(d):
+            rows.append({"cluster": ci, "dim": di,
+                         "centroid": float(cent[ci, di]), "n_members": members})
+    return pd.DataFrame(rows)

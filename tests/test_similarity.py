@@ -97,3 +97,41 @@ def test_lsh_default_recall_pinned(ray_session):
     recall = len(exact & approx) / len(exact)
     b, t = lsh_params(thr)
     assert recall >= 0.9, (recall, b, t)
+
+
+def test_kmeans_deterministic_and_clusters_blobs(ray_session):
+    """Distributed k-means: integer-quantized partials make centroids
+    bit-identical across different block layouts; planted blobs separate."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import kmeans_embeddings
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 4]))
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0.0]])
+    m = np.repeat(centers, 60, axis=0) + 0.1 * rng.standard_normal((180, 4))
+    pdf = pd.DataFrame({"vec_id": np.arange(180), "embedding": list(m.astype(np.float32))})
+
+    a = kmeans_embeddings(rd.from_pandas(pdf).repartition(2), k=3, iters=4)
+    b = kmeans_embeddings(rd.from_pandas(pdf).repartition(7), k=3, iters=4)
+    assert a.equals(b)  # bit-identical despite different block layouts
+    assert sorted(a.groupby("cluster")["n_members"].first()) == [60, 60, 60]
+    # each centroid ~ a unit vector along one planted axis
+    cent = a.pivot(index="cluster", columns="dim", values="centroid").to_numpy()
+    assert (cent.max(axis=1) > 0.99).all()
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.stages.similarity import quantize_embeddings
+
+    rng = np.random.Generator(np.random.Philox(key=[12, 4]))
+    m = rng.standard_normal((50, 8))
+    pdf = pd.DataFrame({"vec_id": np.arange(50), "embedding": list(m.astype(np.float32))})
+    q = quantize_embeddings(rd.from_pandas(pdf).repartition(3)).to_pandas()
+    assert len(q) == 50 * 8
+    assert q["q"].between(0, 254).all()
+    # dequantize error bounded by half a level per dim
+    lo = m.min(axis=0).astype(np.float32).astype(np.float64)
+    span = (m.max(axis=0).astype(np.float32).astype(np.float64) - lo)
+    deq = lo[q["dim"]] + q["q"].to_numpy() / 254.0 * span[q["dim"]]
+    orig = m.astype(np.float32).astype(np.float64)[q["vec_id"], q["dim"]]
+    assert np.abs(deq - orig).max() <= (span.max() / 254) * 0.51 + 1e-9
