@@ -290,6 +290,26 @@ def _q_orders_quantiles_approx(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"p25": [out[0.25]], "median": [out[0.5]], "p75": [out[0.75]]})
 
 
+def _q_events_heavy_users(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters over event user_ids (bounded memory per
+    block).  At this scale the column cardinality fits the summary capacity,
+    so the sketch is exact and oracle-checkable; beyond capacity it degrades
+    gracefully to guaranteed-within-n/capacity estimates (pytest-pinned)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.sketch import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = heavy_hitters(ds, "user_id", k=10, capacity=4096)
+    return out.rename(columns={"item": "user_id"})
+
+
+_Q_EVENTS_HEAVY_USERS_SQL = """
+SELECT user_id, count(*) AS est_count
+FROM events GROUP BY user_id
+ORDER BY est_count DESC, user_id LIMIT 10
+"""
+
+
 def _q_orders_quantiles_approx_grouped(sf_dir: str) -> pd.DataFrame:
     """PER-GROUP histogram-sketch quantiles — the scale path behind the exact
     orders_price_quantiles (whose per-group materialization is a skew hazard
@@ -503,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_keep": D.q_doc_minhash_keep,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "events_approx_users": _q_events_approx_users,
+        "events_heavy_users": _q_events_heavy_users,
         "orders_quantiles_approx": _q_orders_quantiles_approx,
         "orders_quantiles_approx_grouped": _q_orders_quantiles_approx_grouped,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -550,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_with_bigparts": R.Q_SUPPLIERS_WITH_BIGPARTS_SQL,
         "event_types": R.Q_EVENT_TYPES_SQL,
         "events_moving_avg": R.Q_EVENTS_MOVING_AVG_SQL,
+        "events_heavy_users": _Q_EVENTS_HEAVY_USERS_SQL,
         "orders_price_quantiles": R.Q_ORDERS_PRICE_QUANTILES_SQL,
         "doc_token_count": D.Q_DOC_TOKEN_COUNT_SQL,
         "doc_tokens": D.Q_DOC_TOKENS_SQL,

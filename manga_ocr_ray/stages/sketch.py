@@ -225,3 +225,52 @@ def grouped_approx_quantiles(
         .groupby("shard")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def heavy_hitters(ds: rd.Dataset, column: str, k: int = 20,
+                  capacity: int = 256) -> pd.DataFrame:
+    """Approximate top-k heavy hitters with bounded memory (Misra-Gries).
+
+    Each block builds a ``capacity``-counter MG summary (undercounts each
+    item by at most block_n/capacity); summaries are (item, weight) rows —
+    at most ``capacity`` per block — merged by a combining groupby Sum, so
+    total undercount ≤ n/capacity and any item with true frequency above
+    that is guaranteed to survive.  The final top-k sorts the (tiny) merged
+    summary.  Contrast with the exact wordcount (`doc_top_tokens`): this
+    never holds more than ``capacity`` counters per block, no matter the
+    cardinality of the column.
+    """
+    from ray.data.aggregate import Sum
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        vals = t[column].combine_chunks()
+        arr = vals.to_numpy(zero_copy_only=False)
+        counters: dict = {}
+        for v in arr:
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < capacity:
+                counters[v] = 1
+            else:
+                # decrement-all: drop zeroed counters
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+        if not counters:
+            return pa.table({"item": pa.array([], vals.type),
+                             "weight": pa.array([], pa.int64())})
+        return pa.table({"item": pa.array(list(counters.keys()), vals.type),
+                         "weight": pa.array(list(counters.values()), pa.int64())})
+
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("weight", alias_name="est_count"))
+        .to_pandas()
+    )
+    return (merged.sort_values(["est_count", "item"], ascending=[False, True])
+            .head(k).reset_index(drop=True))

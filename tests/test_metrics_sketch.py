@@ -136,3 +136,25 @@ def test_grouped_approx_quantiles_accuracy(ray_session):
         for q, col in ((0.25, "q_25"), (0.5, "q_50"), (0.75, "q_75")):
             exact = np.quantile(sub["v"], q)
             assert abs(row[col] - exact) <= tol, (k, q, row[col], exact)
+
+
+def test_heavy_hitters_misra_gries(ray_session):
+    """MG summary: planted heavy hitters survive the merge with counts
+    within the n/capacity undercount bound."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.Generator(np.random.Philox(key=[5, 9]))
+    n = 40_000
+    # two heavy hitters at ~10% and ~5%, the rest a long uniform tail
+    tail = rng.integers(1000, 9000, size=n)
+    vals = np.where(rng.random(n) < 0.10, 7, np.where(rng.random(n) < 0.05, 13, tail))
+    pdf = pd.DataFrame({"v": vals.astype(np.int64)})
+    out = heavy_hitters(rd.from_pandas(pdf).repartition(16), "v", k=5, capacity=128)
+    top = dict(zip(out["item"], out["est_count"]))
+    true7 = int((vals == 7).sum())
+    assert 7 in top and top[7] <= true7 and top[7] >= true7 - n // 128
+    assert out["item"].iloc[0] == 7  # the heaviest item ranks first
