@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customer_count": R.q_region_customer_count,
         "top_customers": R.q_top_customers,
         "top_orders": R.q_top_orders,
+        "orders_price_rank": R.q_orders_price_rank,
         "union_nations": R.q_union_nations,
         "events_hourly": R.q_events_hourly,
         "events_props": R.q_events_props,
@@ -556,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "region_customer_count": R.Q_REGION_CUSTOMER_COUNT_SQL,
         "top_customers": R.Q_TOP_CUSTOMERS_SQL,
         "top_orders": R.Q_TOP_ORDERS_SQL,
+        "orders_price_rank": R.Q_ORDERS_PRICE_RANK_SQL,
         "union_nations": R.Q_UNION_NATIONS_SQL,
         "events_hourly": R.Q_EVENTS_HOURLY_SQL,
         "events_props": R.Q_EVENTS_PROPS_SQL,

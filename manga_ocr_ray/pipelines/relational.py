@@ -825,3 +825,54 @@ SELECT event_id,
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM gaps
 """
+
+
+# ---- global rank / ntile (total-order enumeration without a driver loop) ---
+
+def global_rank(ds: rd.Dataset, keys: list[str], *, rank_col: str = "rank",
+                descending: bool | list[bool] = False) -> rd.Dataset:
+    """1-based global row number under a total order — ``row_number() OVER
+    (ORDER BY keys)`` distributed:
+
+    1. ``ds.sort(keys)`` (range-partitioned shuffle; include a unique
+       tie-break column in ``keys`` for determinism),
+    2. per-block row COUNTS via tiny parallel tasks (one int per block),
+    3. exclusive prefix sum of the counts on the driver,
+    4. one parallel task per block appends base_offset + local index.
+
+    Rows never funnel through the driver — only the per-block counts do.
+    """
+    srt = ds.sort(keys, descending=descending).materialize()
+    refs = srt.get_internal_block_refs()
+
+    @ray.remote
+    def _nrows(block) -> int:
+        return block.num_rows
+
+    @ray.remote
+    def _rank_block(base: int, block) -> pa.Table:
+        return block.append_column(
+            rank_col,
+            pa.array(np.arange(base + 1, base + 1 + block.num_rows, dtype=np.int64)),
+        )
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return rd.from_arrow_refs(
+        [_rank_block.remote(int(b), r) for b, r in zip(bases, refs)]
+    )
+
+
+def q_orders_price_rank(sf_dir: str) -> rd.Dataset:
+    """Every order with its global 1-based rank by (totalprice desc, key)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+    return global_rank(ds, ["o_totalprice", "o_orderkey"],
+                       descending=[True, False])
+
+
+Q_ORDERS_PRICE_RANK_SQL = """
+SELECT o_orderkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+FROM orders
+"""

@@ -53,3 +53,22 @@ def test_hash64_matches_scalar_fnv(blobs):
     got = hash64_bytes_numpy(data, offsets)
     want = [_fnv1a_ref(b) for b in blobs]
     assert got.tolist() == want
+
+
+def test_global_rank_total_order(ray_session):
+    """global_rank: dense 1..N ranks consistent with the total order, at any
+    partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from manga_ocr_ray.pipelines.relational import global_rank
+
+    rng = np.random.Generator(np.random.Philox(key=[2, 8]))
+    pdf = pd.DataFrame({"k": rng.permutation(500), "v": rng.integers(0, 50, 500)})
+    out = global_rank(rd.from_pandas(pdf).repartition(7), ["v", "k"]).to_pandas()
+    out = out.sort_values("rank")
+    assert list(out["rank"]) == list(range(1, 501))
+    # rank order == lexicographic (v, k) order
+    expect = pdf.sort_values(["v", "k"]).reset_index(drop=True)
+    assert list(out["k"]) == list(expect["k"])
