@@ -847,10 +847,14 @@ def global_rank(ds: rd.Dataset, keys: list[str], *, rank_col: str = "rank",
 
     @ray.remote
     def _nrows(block) -> int:
-        return block.num_rows
+        # blocks are Arrow tables (parquet reads) or pandas frames
+        # (from_pandas datasets)
+        return block.num_rows if isinstance(block, pa.Table) else len(block)
 
     @ray.remote
     def _rank_block(base: int, block) -> pa.Table:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
         return block.append_column(
             rank_col,
             pa.array(np.arange(base + 1, base + 1 + block.num_rows, dtype=np.int64)),
