@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": D.q_doc_repetition,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "doc_charset_coverage": D.q_doc_charset_coverage,
+        "training_mix": D.q_training_mix,
         # training-data operators
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_minhash_keep": D.q_doc_minhash_keep,
@@ -583,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": D.Q_DOC_REPETITION_SQL,
         "doc_scrub_urls": D.Q_DOC_SCRUB_URLS_SQL,
         "doc_charset_coverage": D.Q_DOC_CHARSET_COVERAGE_SQL,
+        "training_mix": D.q_training_mix_sql(),
         "doc_normalize": D.Q_DOC_NORMALIZE_SQL,
         "doc_strip_html": D.q_doc_strip_html_sql(),
         "doc_flatten_pdf": D.q_doc_flatten_pdf_sql(),

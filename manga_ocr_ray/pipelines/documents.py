@@ -480,3 +480,62 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{SUPPORTED_CLASS.replace("[", "[^", 1)}')) = 0 AS is_supported
 FROM documents
 """
+
+
+# ---- training-mix builder: the end-to-end data-curation composition --------
+
+def q_training_mix(sf_dir: str) -> rd.Dataset:
+    """The full curation pipeline in one Dataset graph: exact-dedup winners
+    (128-bit content keys) → quality gate (token count + repetition) →
+    language gate (en) → (doc_id, text).  Every stage streams; the only
+    shuffles are the dedup groupby+join.  This is the "switch your pipeline
+    to this engine" showcase query — each stage is the production operator,
+    and the whole composition is value-checked against one SQL statement."""
+    from ..functions.textstats import LangIdStage, token_count_array
+    from ..stages.dedup import _batch_shingle_hashes, exact_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    deduped = exact_dedup(ds)  # keep min-id row per distinct content
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(token_count_array(t["text"]), pa.int64()).to_numpy()
+        sh, par = _batch_shingle_hashes(t["text"], 3)
+        total = np.bincount(par, minlength=t.num_rows).astype(np.float64)
+        order = np.lexsort((sh, par))
+        ps, ss = par[order], sh[order]
+        new = np.empty(ps.shape, dtype=bool)
+        if len(ps):
+            new[0] = True
+            new[1:] = (ps[1:] != ps[:-1]) | (ss[1:] != ss[:-1])
+        distinct = np.bincount(ps[new], minlength=t.num_rows).astype(np.float64)
+        dup_ratio = 1.0 - distinct / np.maximum(total, 1.0)
+        keep = (n_tok >= 20) & (dup_ratio <= 0.2)
+        return t.filter(pa.array(keep))
+
+    gated = deduped.map_batches(quality_gate, batch_format="pyarrow")
+    lang = gated.map_batches(LangIdStage, fn_constructor_kwargs={},
+                             batch_format="pyarrow", concurrency=(1, 2))
+    return (lang.filter(expr="lang_pred == 'en'")
+            .select_columns(["doc_id", "text"]))
+
+
+def q_training_mix_sql() -> str:
+    from ..functions.textstats import TOKEN_PATTERN, lang_id_sql
+
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+dd AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '{SHINGLE_TOKEN_PATTERN}') ws FROM dd),
+grams AS (SELECT doc_id, text,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_transform(generate_series(1, len(ws)-2),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 END AS gs
+          FROM toks),
+gate AS (
+  SELECT doc_id, text FROM grams
+  WHERE len(regexp_extract_all(text, '{TOKEN_PATTERN}')) >= 20
+    AND 1.0 - len(list_distinct(gs)) * 1.0 / greatest(len(gs), 1) <= 0.2)
+SELECT doc_id, text FROM gate WHERE ({lang_id_sql('text')}) = 'en'
+"""
