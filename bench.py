@@ -186,23 +186,26 @@ def scaling() -> None:
             "turns_per_sec_32cpu": r32["turns_per_sec"],
             "efficiency": round((r32["turns_per_sec"] / r8["turns_per_sec"]) / 4, 3),
         })
-    # Efficiency from each level's BEST throughput across the interleaved
-    # rounds: a noise window that slows one leg of one round neither deflates
-    # (slow 32 leg) nor inflates (slow 8 leg) the ratio, because the other
-    # rounds supply that level's clean sample.  Per-pair ratios are listed as
-    # supporting evidence of the spread.
-    best8 = max(p["turns_per_sec_8cpu"] for p in pairs)
-    best32 = max(p["turns_per_sec_32cpu"] for p in pairs)
+    # Headline = the MEDIAN pair efficiency.  Each pair is a same-conditions
+    # measurement (both levels back-to-back), which is the faithful analog of
+    # "the same job on two cluster sizes"; cross-pairing each level's best
+    # run mixes host windows and can sit BELOW every individual pair (seen:
+    # pairs 0.876/0.952/0.516 → cross-paired 0.778).  The median is robust
+    # to a single noise-wrecked pair in either direction (a slow 8-leg
+    # inflates its pair ratio past 1, a slow 32-leg deflates it); all pairs
+    # are listed so the spread is visible.
+    mid = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cpus",
-        "turns": pairs[0]["turns"],
-        "sec_8cpu": min(p["sec_8cpu"] for p in pairs),
-        "sec_32cpu": min(p["sec_32cpu"] for p in pairs),
-        "turns_per_sec_8cpu": best8,
-        "turns_per_sec_32cpu": best32,
-        "speedup": round(best32 / best8, 3),
-        "scaling_efficiency": round((best32 / best8) / 4, 3),
+        "turns": mid["turns"],
+        "sec_8cpu": mid["sec_8cpu"],
+        "sec_32cpu": mid["sec_32cpu"],
+        "turns_per_sec_8cpu": mid["turns_per_sec_8cpu"],
+        "turns_per_sec_32cpu": mid["turns_per_sec_32cpu"],
+        "speedup": round(mid["turns_per_sec_32cpu"] / mid["turns_per_sec_8cpu"], 3),
+        "scaling_efficiency": mid["efficiency"],
         "per_pair_efficiency": [p["efficiency"] for p in pairs],
+        "best_pair_efficiency": max(p["efficiency"] for p in pairs),
     }))
 
 
