@@ -138,11 +138,19 @@ class LangIdStage:
         self.text_col = text_col
         self.out_col = out_col
         self.langs = list(_LANG_STOPWORDS)
-        # \b word-bounded alternation over each language's stopword list,
-        # case-insensitive — identical hit count to the set-membership loop
-        # because stopwords are plain ascii words
+        # Stopwords are counted on a SEPARATOR-NORMALIZED copy of the text:
+        # lower() then replace every non-letter run with TWO spaces and pad
+        # the ends, so ``" the "`` matches with plain non-overlapping regex
+        # scanning even for adjacent stopwords ("of the" → "of  the" — each
+        # match consumes one of the two separator spaces).  This reproduces
+        # the scalar tokenizer's split-on-digits/underscore semantics that a
+        # plain \b alternation gets wrong ("the123" must count "the": \b
+        # sees no boundary before a digit).  Residual divergence from the
+        # scalar [^\W\d_]+ tokenizer: RE2's \p{L} excludes Nl/No number
+        # letters (Ⅻ, ①) that Python's \w includes — the SQL oracle uses
+        # \p{L} too, so stage ↔ oracle agree exactly.
         self.stop_pats = {
-            lang: r"(?i)\b(?:" + "|".join(stops) + r")\b"
+            lang: " (?:" + "|".join(stops) + ") "
             for lang, stops in _LANG_STOPWORDS.items()
         }
 
@@ -158,7 +166,18 @@ class LangIdStage:
         n = np.maximum(pc.utf8_length(text).to_numpy(zero_copy_only=False), 1)
         kana, han, hangul = cnt(self._KANA), cnt(self._HAN), cnt(self._HANGUL)
         n_words = cnt(self._WORD)
-        scores = np.stack([cnt(self.stop_pats[lang]) for lang in self.langs])
+        # separator-normalized copy for exact word-boundary stopword counts
+        folded = pc.binary_join_element_wise(
+            pa.scalar(" "),
+            pc.replace_substring_regex(
+                pc.utf8_lower(text), pattern=r"[^\p{L}]+", replacement="  "),
+            pa.scalar(" "), "")
+
+        def cnt_stop(pat: str) -> np.ndarray:
+            return pc.count_substring_regex(folded, pattern=pat).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+
+        scores = np.stack([cnt_stop(self.stop_pats[lang]) for lang in self.langs])
         best_i = scores.argmax(axis=0)  # first-in-dict-order wins ties
         best_s = scores.max(axis=0)
         # non-ascii LETTERS ([^ascii ∪ non-letter] = letters outside ascii):

@@ -287,23 +287,92 @@ FROM events GROUP BY 1, 2
 def q_events_props(sf_dir: str) -> rd.Dataset:
     """JSON tool-payload parse (S3/M12 analog) + grouped aggregate.
 
-    The top-level-scalar JSON-path extraction is ONE vectorized RE2 pass
-    (``pc.extract_regex``), not a per-row json.loads loop; non-matching /
-    malformed payloads become nulls, mirroring the oracle's ``->>'k'``."""
+    Top-level-scalar JSON-path extraction with exact ``->>'k'`` semantics:
+    ONE vectorized RE2 pass handles payloads that are verifiably FLAT objects
+    (``^\\{{[^{{}}\\[\\]]*\\}}$`` — no nested containers, so any ``"k"`` match
+    is at depth 1), covering quoted ("12") and unquoted numeric values; rows
+    that don't match the flat shape (nested objects, arrays, malformed JSON)
+    fall back to per-row ``json.loads`` which replicates ``->>'k'`` +
+    ``CAST(.. AS BIGINT)`` exactly.  Equivalence on nested / quoted /
+    string-valued / malformed payloads is pinned by
+    tests/test_relational.py."""
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
 
-    def parse(t: pa.Table) -> pa.Table:
-        ext = pc.extract_regex(t["props"].combine_chunks(),
-                               pattern=r'"k"\s*:\s*(?P<v>-?\d+)')
-        k = pc.cast(pc.struct_field(ext, "v"), pa.int64())
-        return pa.table({"event_type": t["event_type"], "k": k})
-
     return (
-        ds.map_batches(parse, batch_format="pyarrow")
+        ds.map_batches(parse_props_k, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Mean("k", alias_name="avg_k"), Max("k", alias_name="max_k"),
                    Min("k", alias_name="min_k"))
     )
+
+
+def _props_k_slow(payload: str | None) -> int | None:
+    """Exact ``CAST(props->>'k' AS BIGINT)`` for one payload (fallback path)."""
+    import json
+
+    try:
+        obj = json.loads(payload) if payload is not None else None
+    except (json.JSONDecodeError, TypeError):
+        return None
+    if not isinstance(obj, dict) or "k" not in obj:
+        return None
+    v = obj["k"]
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str):
+        try:
+            return int(v.strip())  # CAST('12' AS BIGINT)
+        except ValueError:
+            return None
+    return None  # float et al.: CAST would error; approximate as null
+
+
+# A VALID flat JSON object (string/number/bool/null values, no nested
+# containers) — RE2-compatible (no lookaround).  Rows matching this are safe
+# for regex extraction: any '"k"' key sits at depth 1, and string values
+# can't fake a key because their quotes are escaped.
+_JSON_STR = r'"(?:[^"\\]|\\.)*"'
+_JSON_SCALAR = rf'(?:{_JSON_STR}|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null)'
+_FLAT_JSON_RE = (
+    rf'^\s*\{{\s*(?:{_JSON_STR}\s*:\s*{_JSON_SCALAR}'
+    rf'(?:\s*,\s*{_JSON_STR}\s*:\s*{_JSON_SCALAR})*\s*)?\}}\s*$'
+)
+
+
+def parse_props_k(t: pa.Table) -> pa.Table:
+    """(event_type, k) with k = top-level integer key of the props JSON.
+
+    Fast path: rows that VALIDATE as a flat JSON object with exactly one
+    ``"k"`` key are resolved by one RE2 extract — exact ``->>'k'`` +
+    ``CAST AS BIGINT`` semantics by construction (quoted "12" coerces, 12.5
+    / non-numeric → null via the trailing anchor).  Everything else (nested
+    containers, duplicate keys, malformed JSON) goes through per-row
+    json.loads.  At 100 TB the slow path is cold: real event-prop payloads
+    are overwhelmingly flat."""
+    props = t["props"].combine_chunks()
+    filled = props.fill_null("")
+    flat = pc.match_substring_regex(filled, _FLAT_JSON_RE)
+    single_k = pc.equal(
+        pc.count_substring_regex(filled, pattern=r'"k"\s*:'), 1)
+    fast = pc.and_(flat, single_k)
+    # optional symmetric quotes/space so CAST's whitespace-trimming on
+    # quoted values (" 12 ") is honored
+    ext = pc.extract_regex(
+        props, pattern=r'[{,]\s*"k"\s*:\s*"?\s*(?P<v>-?\d+)\s*"?\s*[,}]')
+    k_fast = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+    fast_np = fast.to_numpy(zero_copy_only=False)
+    if bool(np.all(fast_np)):
+        k = k_fast
+    else:
+        out = k_fast.to_pylist()
+        slow_idx = np.flatnonzero(~fast_np)
+        for i, v in zip(slow_idx,
+                        props.take(pa.array(slow_idx)).to_pylist()):
+            out[i] = _props_k_slow(v)
+        k = pa.array(out, pa.int64())
+    return pa.table({"event_type": t["event_type"], "k": k})
 
 
 Q_EVENTS_PROPS_SQL = """
