@@ -306,12 +306,25 @@ def q_events_props(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _round_half_away(f: float) -> int:
+    import math
+
+    return int(math.floor(f + 0.5)) if f >= 0 else int(math.ceil(f - 0.5))
+
+
 def _props_k_slow(payload: str | None) -> int | None:
-    """Exact ``CAST(props->>'k' AS BIGINT)`` for one payload (fallback path)."""
+    """Exact ``TRY_CAST(props->>'k' AS BIGINT)`` for one payload (fallback).
+
+    Mirrors DuckDB's measured semantics: duplicate keys → FIRST wins (the
+    ``reversed`` pairs hook; json.loads alone keeps the last), numeric
+    strings are whitespace-trimmed, fractional values round half away from
+    zero (CAST('12.5') = 13), bool/null/containers/non-numeric → NULL."""
     import json
 
     try:
-        obj = json.loads(payload) if payload is not None else None
+        obj = (json.loads(payload,
+                          object_pairs_hook=lambda ps: {k: v for k, v in reversed(ps)})
+               if payload is not None else None)
     except (json.JSONDecodeError, TypeError):
         return None
     if not isinstance(obj, dict) or "k" not in obj:
@@ -321,12 +334,18 @@ def _props_k_slow(payload: str | None) -> int | None:
         return None
     if isinstance(v, int):
         return v
+    if isinstance(v, float):
+        return _round_half_away(v)
     if isinstance(v, str):
+        s = v.strip()
         try:
-            return int(v.strip())  # CAST('12' AS BIGINT)
+            return int(s)  # CAST('12' AS BIGINT)
         except ValueError:
-            return None
-    return None  # float et al.: CAST would error; approximate as null
+            try:
+                return _round_half_away(float(s))  # CAST('12.5') = 13
+            except (ValueError, OverflowError):
+                return None
+    return None  # containers: ->> returns their JSON text; CAST errors → NULL
 
 
 # A VALID flat JSON object (string/number/bool/null values, no nested
@@ -356,12 +375,14 @@ def parse_props_k(t: pa.Table) -> pa.Table:
     flat = pc.match_substring_regex(filled, _FLAT_JSON_RE)
     single_k = pc.equal(
         pc.count_substring_regex(filled, pattern=r'"k"\s*:'), 1)
-    fast = pc.and_(flat, single_k)
     # optional symmetric quotes/space so CAST's whitespace-trimming on
-    # quoted values (" 12 ") is honored
+    # quoted values (" 12 ") is honored; integer-shaped values only — flat
+    # rows whose k is fractional/non-numeric drop to the slow path, which
+    # replicates CAST's rounding ('12.5' → 13) exactly
     ext = pc.extract_regex(
         props, pattern=r'[{,]\s*"k"\s*:\s*"?\s*(?P<v>-?\d+)\s*"?\s*[,}]')
     k_fast = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+    fast = pc.and_(pc.and_(flat, single_k), pc.is_valid(k_fast))
     fast_np = fast.to_numpy(zero_copy_only=False)
     if bool(np.all(fast_np)):
         k = k_fast
