@@ -227,44 +227,62 @@ def grouped_approx_quantiles(
     )
 
 
+def mg_partial_loop(arr, capacity: int) -> dict:
+    """Textbook Misra-Gries decrement loop — kept as the property-test twin
+    of the vectorized :func:`heavy_hitters` partial (same undercount bound,
+    per-row Python, never on the production path)."""
+    counters: dict = {}
+    for v in arr:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
 def heavy_hitters(ds: rd.Dataset, column: str, k: int = 20,
                   capacity: int = 256) -> pd.DataFrame:
-    """Approximate top-k heavy hitters with bounded memory (Misra-Gries).
+    """Approximate top-k heavy hitters with bounded memory.
 
-    Each block builds a ``capacity``-counter MG summary (undercounts each
-    item by at most block_n/capacity); summaries are (item, weight) rows —
-    at most ``capacity`` per block — merged by a combining groupby Sum, so
-    total undercount ≤ n/capacity and any item with true frequency above
-    that is guaranteed to survive.  The final top-k sorts the (tiny) merged
-    summary.  Contrast with the exact wordcount (`doc_top_tokens`): this
-    never holds more than ``capacity`` counters per block, no matter the
-    cardinality of the column.
+    Each block builds a top-``capacity``-by-count summary of its EXACT value
+    counts (one vectorized ``np.unique``; ties broken by item for
+    determinism).  Dropping everything below the capacity-th count
+    undercounts any item by at most the (capacity+1)-th largest block count
+    ≤ block_n/(capacity+1) — the same space-saving/Misra-Gries-style
+    guarantee as a decrement summary (whose per-row Python loop this
+    replaces; :func:`mg_partial_loop` remains as the property-test twin).
+    Summaries are (item, weight) rows — at most ``capacity`` per block —
+    merged by a combining groupby Sum, so total undercount ≤ n/capacity and
+    any item with true frequency above that is guaranteed to survive.  The
+    final top-k sorts the (tiny) merged summary.  Contrast with the exact
+    wordcount (`doc_top_tokens`): this never holds more than ``capacity``
+    counters per block, no matter the cardinality of the column.
     """
     from ray.data.aggregate import Sum
 
     def mg_partial(t: pa.Table) -> pa.Table:
         vals = t[column].combine_chunks()
         arr = vals.to_numpy(zero_copy_only=False)
-        counters: dict = {}
-        for v in arr:
-            if v in counters:
-                counters[v] += 1
-            elif len(counters) < capacity:
-                counters[v] = 1
-            else:
-                # decrement-all: drop zeroed counters
-                dead = []
-                for key in counters:
-                    counters[key] -= 1
-                    if counters[key] == 0:
-                        dead.append(key)
-                for key in dead:
-                    del counters[key]
-        if not counters:
+        if len(arr) == 0:
             return pa.table({"item": pa.array([], vals.type),
                              "weight": pa.array([], pa.int64())})
-        return pa.table({"item": pa.array(list(counters.keys()), vals.type),
-                         "weight": pa.array(list(counters.values()), pa.int64())})
+        uniq, counts = np.unique(arr, return_counts=True)
+        if len(uniq) > capacity:
+            # np.unique returns items ascending → a stable sort on -count
+            # keeps the smaller item first within equal counts (determinism
+            # at any block layout)
+            order = np.argsort(-counts, kind="stable")[:capacity]
+            uniq, counts = uniq[order], counts[order]
+        return pa.table({"item": pa.array(uniq, vals.type),
+                         "weight": pa.array(counts.astype(np.int64), pa.int64())})
 
     merged = (
         ds.map_batches(mg_partial, batch_format="pyarrow")

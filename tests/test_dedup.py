@@ -121,3 +121,22 @@ def test_minhash_lsh_ds_no_driver_materialization(ray_session, monkeypatch):
     got = {(r["id_a"], r["id_b"]) for r in rows}
     assert (100, 101) in got
     assert all(not (a == 103 or b == 103) for a, b in got)
+
+
+def test_simhash_batch_bit_identical_to_scalar():
+    """The vectorized production kernel must equal the scalar twin (which the
+    bit-exact md5 SQL oracle mirrors) on every fixture shape: empty docs,
+    CJK, repeated tokens, digits/case folds."""
+    import pyarrow as pa
+
+    from manga_ocr_ray.stages.dedup import simhash64, simhash64_batch
+
+    texts = [
+        BASE, NEAR, FAR, "", "   ", "spam spam spam spam",
+        "日本語のテキストとカタカナ混じり漢字",
+        "MiXeD CaSe The123 and_the same mixed case the123",
+        "a", "𝕦nicode βeyond ascii ümlauts",
+    ]
+    scalar = simhash64(texts)
+    batch = simhash64_batch(pa.array(texts, pa.string()))
+    assert (scalar == batch).all(), np.flatnonzero(scalar != batch)

@@ -158,3 +158,20 @@ def test_heavy_hitters_misra_gries(ray_session):
     true7 = int((vals == 7).sum())
     assert 7 in top and top[7] <= true7 and top[7] >= true7 - n // 128
     assert out["item"].iloc[0] == 7  # the heaviest item ranks first
+
+
+def test_mg_loop_twin_same_bound():
+    """The vectorized top-capacity partial and the textbook MG decrement
+    loop both respect the n/capacity undercount bound on the same block."""
+    from manga_ocr_ray.stages.sketch import mg_partial_loop
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 1]))
+    n, cap = 20_000, 64
+    vals = np.where(rng.random(n) < 0.2, 5, rng.integers(100, 5000, size=n))
+    true5 = int((vals == 5).sum())
+    mg = mg_partial_loop(vals, cap)
+    assert 5 in mg and true5 - n // cap <= mg[5] <= true5
+    uniq, counts = np.unique(vals, return_counts=True)
+    order = np.argsort(-counts, kind="stable")[:cap]
+    kept = dict(zip(uniq[order], counts[order]))
+    assert 5 in kept and true5 - n // cap <= kept[5] <= true5
