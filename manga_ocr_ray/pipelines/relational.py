@@ -348,16 +348,7 @@ def _props_k_slow(payload: str | None) -> int | None:
     return None  # containers: ->> returns their JSON text; CAST errors → NULL
 
 
-# A VALID flat JSON object (string/number/bool/null values, no nested
-# containers) — RE2-compatible (no lookaround).  Rows matching this are safe
-# for regex extraction: any '"k"' key sits at depth 1, and string values
-# can't fake a key because their quotes are escaped.
-_JSON_STR = r'"(?:[^"\\]|\\.)*"'
-_JSON_SCALAR = rf'(?:{_JSON_STR}|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null)'
-_FLAT_JSON_RE = (
-    rf'^\s*\{{\s*(?:{_JSON_STR}\s*:\s*{_JSON_SCALAR}'
-    rf'(?:\s*,\s*{_JSON_STR}\s*:\s*{_JSON_SCALAR})*\s*)?\}}\s*$'
-)
+from ..functions.jsonfast import FLAT_JSON_RE as _FLAT_JSON_RE
 
 
 def parse_props_k(t: pa.Table) -> pa.Table:

@@ -38,10 +38,11 @@ from ..functions.pdf import flatten_pdf_array
 
 _WARMUP = pa.table(
     {
-        "conv_id": ["warmup"],
-        "turn_idx": pa.array([0], pa.int32()),
-        "text": ["<html><body><p>ウォームアップ ok…</p></body></html>"],
-        "tool": ["html"],
+        "conv_id": ["warmup", "warmup"],
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "text": ['<html><body><p>ウォームアップ ok…</p></body></html>',
+                 '{"tool": "t", "content": "warm"}'],
+        "tool": ["html", "json"],
     }
 )
 
@@ -158,8 +159,22 @@ class ExtractorActor:
         if kind == "pdf":
             return flatten_pdf_array(sub).to_pylist()
         if kind == "json":
-            return [extract_json_content(t) for t in sub.to_pylist()]
+            return self._json_kernel(sub)
         return sub.to_pylist()  # "", "text", unknown → passthrough
+
+    @staticmethod
+    def _json_kernel(sub: pa.Array) -> list[str]:
+        """Tool-payload content extraction: per-row ``json.loads``.
+
+        MEASURED DECISION (round 3): on the dominant ~400-byte flat payload
+        shape, C ``json.loads`` runs 2.8 µs/row; a validated RE2 fast path
+        (flat-shape match + key count + anchored extract, à la
+        ``parse_props_k``) measured 7.3 µs/row and a fused one-capture
+        validator 13.3 µs/row — the regex passes cost more than the C
+        parser, so loads IS the fast path here.  The regex approach wins
+        only for tiny payloads (events_props, ~20 B) where fixed per-row
+        Python overhead dominates."""
+        return [extract_json_content(t) for t in sub.to_pylist()]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raw = self._extract(batch[self.text_col], batch[self.tool_col])

@@ -233,3 +233,30 @@ def test_retry_budget_and_debug_column(ray_session):
     assert errs2[0] is None and errs2[2] is None
     assert "after 2 attempts" in errs2[1]
     assert out2["extracted_text"].to_pylist()[1] == ""
+
+
+def test_json_kernel_fast_path_equivalence():
+    """The vectorized json fast path must be bit-identical to per-row
+    json.loads on every shape: flat literal (fast), escapes, nested content,
+    duplicate keys, non-string content, missing content, malformed."""
+    import pyarrow as pa
+
+    from manga_ocr_ray.stages.extractor import ExtractorActor, extract_json_content
+
+    payloads = [
+        '{"tool": "search", "status": "ok", "content": "plain text", "n": 3}',
+        '{"content": "日本語のコンテンツ…", "x": 1.5}',
+        '{"content": "with \\"escaped\\" quotes"}',
+        '{"content": "line\\nbreak and \\u00e9"}',
+        '{"content": {"nested": ["x", 1]}}',
+        '{"content": 42}',
+        '{"content": "a", "content": "b"}',   # json.loads: last wins
+        '{"status": "no content key"}',
+        'not json at all',
+        '[1, 2, 3]',
+        '{"content": ""}',
+        '{"a": "fake \\"content\\": \\"inner\\" str", "content": "real"}',
+    ]
+    got = ExtractorActor._json_kernel(pa.array(payloads, pa.string()))
+    want = [extract_json_content(p) for p in payloads]
+    assert got == want, list(zip(payloads, got, want))
