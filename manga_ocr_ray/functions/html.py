@@ -51,13 +51,24 @@ MAX_LINK_DENSITY = 0.4
 
 _BOILERPLATE_TAGS = ("head", "nav", "header", "footer", "aside")
 
-# whole-document region passes, fused into ONE alternation (RE2 has no
-# backreferences, so each region keeps its own open..close alternative).
-# Equivalent to running the passes sequentially on well-formed regions:
-# leftmost-first alternation consumes whichever region opens first, exactly
-# like the earliest sequential pass that would have matched there; every
-# replacement is " ".  One scan per document instead of nine.
-_PRE_STEPS_RE2: list[str] = [p for p, _ in _STRIP_STEPS[:4]] + [
+# Whole-document region passes.  COMMENTS run as their own pass FIRST: a
+# comment may contain a commented-out region closer ("<nav> x <!-- </nav>
+# --> y </nav>"), and a fused alternation would let the nav alternative
+# consume up to the closer inside the comment, leaking " --> y" into kept
+# text (ADVICE r2).  The remaining region passes (script/style/rt/
+# boilerplate) are fused into ONE alternation (RE2 has no backreferences,
+# so each region keeps its own open..close alternative); every replacement
+# is " ".  Two scans per document instead of nine.
+#
+# Defined semantics for MUTUALLY interleaved raw-text regions (a <script>
+# whose JS string contains a literal "</style>", etc.): leftmost-first —
+# whichever region opens first is consumed to its own first closer.  Such
+# documents are ill-formed HTML with no canonical parse; the pinned
+# fixtures in tests/test_extract.py cover both the comment case and an
+# interleaved-region case.
+_COMMENT_PAT = _STRIP_STEPS[0][0]
+_COMMENT_PY = re.compile(_COMMENT_PAT)
+_PRE_STEPS_RE2: list[str] = [p for p, _ in _STRIP_STEPS[1:4]] + [
     rf"(?is)<{t}\b[^>]*>.*?</{t}>" for t in _BOILERPLATE_TAGS
 ]
 _PRE_FUSED = "(?is)(?:" + "|".join(
@@ -143,9 +154,10 @@ _TAG_PY = re.compile(_TAG_PAT)
 
 
 def extract_main_html(html: str) -> str:
-    """Main-content extraction for ONE document — same four passes as the
-    batched path (exact twins): fused region strip → anchor marking → block
-    boundaries → tag strip → density classification."""
+    """Main-content extraction for ONE document — same five passes as the
+    batched path (exact twins): comment strip → fused region strip → anchor
+    marking → block boundaries → tag strip → density classification."""
+    html = _COMMENT_PY.sub(" ", html)
     html = _PRE_FUSED_PY.sub(" ", html)
     html = _ANCHOR_WRAP_PY.sub("\x02 \\1 \x03", html)
     html = _BLOCK_SPLIT_RE.sub("\x00", html)
@@ -154,10 +166,11 @@ def extract_main_html(html: str) -> str:
 
 
 def extract_main_html_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Batched main-content extraction: all four document passes run as RE2
-    Arrow kernels (fused region strip, anchor marking, block boundaries, tag
-    strip); the per-row remainder (:func:`_classify_blocks`) is C-level
-    string ops only — no Python regex in the hot path."""
+    """Batched main-content extraction: all five document passes run as RE2
+    Arrow kernels (comment strip, fused region strip, anchor marking, block
+    boundaries, tag strip); the per-row remainder (:func:`_classify_blocks`)
+    is C-level string ops only — no Python regex in the hot path."""
+    arr = pc.replace_substring_regex(arr, pattern=_COMMENT_PAT, replacement=" ")
     arr = pc.replace_substring_regex(arr, pattern=_PRE_FUSED, replacement=" ")
     arr = pc.replace_substring_regex(arr, pattern=_ANCHOR_WRAP_PAT,
                                      replacement="\x02 \\1 \x03")

@@ -260,3 +260,23 @@ def test_json_kernel_fast_path_equivalence():
     got = ExtractorActor._json_kernel(pa.array(payloads, pa.string()))
     want = [extract_json_content(p) for p in payloads]
     assert got == want, list(zip(payloads, got, want))
+
+
+def test_html_comment_region_interleaving():
+    """ADVICE r2: a commented-out region closer must not truncate the fused
+    region strip — the comment pass runs first."""
+    import pyarrow as pa
+
+    from manga_ocr_ray.functions.html import extract_main_html, extract_main_html_array
+
+    doc = "<p>keep</p><nav> x <!-- </nav> --> y </nav><p>also keep</p>"
+    out = extract_main_html(doc)
+    assert out == "keep\nalso keep", out   # no ' --> y' leak
+    doc2 = "<script> a <!-- </script> --> b </script><p>main</p>"
+    assert extract_main_html(doc2) == "main"
+    # ill-formed mutual interleaving: defined leftmost-first semantics,
+    # scalar and batched twins must agree
+    doc3 = '<style> s <script> </style> x </script><p>ok</p>'
+    docs = [doc, doc2, doc3]
+    batched = extract_main_html_array(pa.array(docs, pa.string())).to_pylist()
+    assert batched == [extract_main_html(d) for d in docs]
