@@ -262,6 +262,37 @@ def test_json_kernel_fast_path_equivalence():
     assert got == want, list(zip(payloads, got, want))
 
 
+def test_frozen_end_to_end_vectors():
+    """Hand-written payload → extracted-text literals, INDEPENDENT of both
+    the corpus generator and post_process (ADVICE r2: the golden-corpus gate
+    builds expected_text with the engine's own post_process, so a semantic
+    bug there would cancel on both sides; these frozen literals would not).
+    One vector per payload kind through the full ExtractorActor chain."""
+    import pyarrow as pa
+
+    from manga_ocr_ray.stages.extractor import ExtractorActor
+
+    vectors = [
+        ("text", "も う 一度・・・・ done…", "もう一度．．．ｄｏｎｅ．．．"),
+        ("html",
+         "<html><head><title>skip</title></head>"
+         "<body><p>ab cd</p><nav>zz</nav></body></html>",
+         "ａｂｃｄ"),
+        ("pdf", "intro ta-\nble\fPage 2 of 3\nrest",
+         "ｉｎｔｒｏｔａｂｌｅｒｅｓｔ"),
+        ("json", '{"tool": "calc", "status": "ok", "content": "1 + 1 = 2…"}',
+         "１＋１＝２．．．"),
+    ]
+    batch = pa.table({
+        "conv_id": ["c"] * len(vectors),
+        "turn_idx": pa.array(range(len(vectors)), pa.int32()),
+        "text": [v[1] for v in vectors],
+        "tool": [v[0] for v in vectors],
+    })
+    out = ExtractorActor()(batch)
+    assert out["extracted_text"].to_pylist() == [v[2] for v in vectors]
+
+
 def test_html_comment_region_interleaving():
     """ADVICE r2: a commented-out region closer must not truncate the fused
     region strip — the comment pass runs first."""
