@@ -8,9 +8,14 @@ training-data operators (dedup, similarity, text analysis); each SQL-
 expressible one has a matching ``oracle_sql()`` entry with identical column
 names.  Transcript-pipeline queries run over a fixed deterministic corpus
 written to /tmp at import; their oracle is the golden expected table the
-corpus generator produces independently of the extraction code, so the
-driver's value-hash equality IS per-turn text equality (the reference's
-tests/test_ocr.py golden fixture, driver-visible).
+corpus generator produces by inverse-rendering payloads from the expected
+text, so the driver's value-hash equality IS per-turn text equality (the
+reference's tests/test_ocr.py golden fixture, driver-visible).  Caveat: the
+generator builds expected_text with the engine's own post_process()
+(corpus.py), so this gate verifies payload unwrapping + batch-vs-scalar
+normalize agreement but would not catch a semantic bug in post_process
+itself; the INDEPENDENT normalize gates are doc_normalize's DuckDB SQL
+mirror and the frozen hand-written vectors in tests/test_extract.py.
 """
 
 from __future__ import annotations
@@ -45,9 +50,12 @@ def _n_convs(sf_dir: str) -> int:
 # corpus (pure pyarrow, no Ray) is written to /tmp at import, the query runs
 # REAL extraction/merge over the transcripts parquet, and the oracle SQL reads
 # the golden expected parquet — the corpus generator inverse-renders payloads
-# from the expected text independently of the extraction code, so value-hash
-# equality IS per-turn text equality (the reference's tests/test_ocr.py
-# expected_results.json gate, driver-visible).  Fixed-size on purpose: this
+# from the expected text, so value-hash equality IS per-turn text equality
+# (the reference's tests/test_ocr.py expected_results.json gate,
+# driver-visible).  Shared-normalize caveat: expected_text is built with the
+# engine's own post_process(), so a semantic bug there cancels on both sides;
+# the independent normalize gates are doc_normalize's SQL mirror and the
+# frozen vectors in tests/test_extract.py.  Fixed-size on purpose: this
 # pair is the correctness gate; the scaled perf path is entry()/bench.py.
 
 _ORACLE_CORPUS = "/tmp/graft_oracle_corpus_n400_s42_v1"
@@ -210,6 +218,62 @@ SELECT CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(levenshtein(pred, expected_text)) AS DOUBLE)
          / sum(strlen(expected_text)) AS cer
 FROM p
+"""
+
+
+def _q_transcript_ja_segment(sf_dir: str):
+    """Semantic Japanese segmentation (M16) as a value-checked driver query:
+    the vectorized BudouX-style batch path (functions/jatok.py) over the
+    Japanese-bearing golden text, emitting per-turn phrase-chunk counts.
+    The oracle recomputes segmentation INDEPENDENTLY — a DuckDB list-lambda
+    over the codepoint array scoring the same UW3/UW4/BW2 feature windows —
+    so value-hash equality pins the packed-key numpy kernel against a
+    from-scratch SQL implementation of the model, not against itself.
+    Reference anchor: BudouX parser per generator, semantic splits —
+    manga_ocr_dev/synthetic_data_generator/common/base_generator.py:63,129-155."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from manga_ocr_ray.functions.jatok import JaSegmentStage
+
+    ds = rd.read_parquet(f"{_oracle_corpus()}/expected.parquet")
+    ds = ds.map_batches(
+        JaSegmentStage,
+        fn_constructor_kwargs={"text_col": "expected_text", "out_col": "chunks"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "n_chunks"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _transcript_ja_segment_sql() -> str:
+    """From-scratch SQL twin of the default ja-segment model: a break before
+    char i iff UW3(prev) + UW4(cur) + BW2(prev||cur) > 0, built from the
+    same model constants so the two stay in sync."""
+    from manga_ocr_ray.functions.jatok import (
+        _BREAK_AFTER_PUNCT, _CLOSERS, _NO_BREAK_BEFORE, _OPENERS,
+        _PARTICLE_EXCEPTIONS, _PARTICLES)
+
+    pairs = ", ".join(f"'{p}'" for p in _PARTICLE_EXCEPTIONS)
+    return f"""
+SELECT conv_id, turn_idx,
+  CASE WHEN length(expected_text) = 0 THEN CAST(0 AS BIGINT)
+  ELSE CAST(1 + len(list_filter(range(2, length(expected_text) + 1), i ->
+    (CASE WHEN strpos('{_PARTICLES}', cs[i-1]) > 0 THEN 100
+          WHEN strpos('{_BREAK_AFTER_PUNCT}', cs[i-1]) > 0 THEN 1000
+          WHEN strpos('{_CLOSERS}', cs[i-1]) > 0 THEN 500
+          WHEN cs[i-1] = ' ' OR cs[i-1] = chr(12288) THEN 1000
+          ELSE 0 END)
+    + (CASE WHEN strpos('{_NO_BREAK_BEFORE}', cs[i]) > 0 THEN -2000
+            WHEN strpos('{_OPENERS}', cs[i]) > 0 THEN 500
+            ELSE 0 END)
+    + (CASE WHEN (cs[i-1] || cs[i]) IN ({pairs}) THEN -150 ELSE 0 END)
+    > 0)) AS BIGINT) END AS n_chunks
+FROM (SELECT *, regexp_split_to_array(expected_text, '') AS cs
+      FROM '{_ORACLE_CORPUS}/expected.parquet')
 """
 
 
@@ -558,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_merge": _q_transcript_merge,
         "transcript_cjk_stats": _q_transcript_cjk_stats,
         "transcript_cer": _q_transcript_cer,
+        "transcript_ja_segment": _q_transcript_ja_segment,
         # embedding aggregates with exact SQL twins
         "embedding_centroids": _q_embedding_centroids,
         "embedding_quantize": _q_embedding_quantize,
@@ -607,9 +672,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_lang_id": _q_doc_lang_id,
         "embedding_topk": _q_embedding_topk,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # ---- driver window boundary (entries below are redundant-oracle
-        # twins already driver-green in round 2, or rows-only by design) ----
+        # twins already driver-green in round 2, or rows-only by design;
+        # embedding_near_dup_lsh shares its SQL with the exact twin and was
+        # driver-green in round 2, so it yields its window slot to the new
+        # transcript_ja_segment oracle) ----
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "spec_clean": _q_spec_clean,
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -682,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_merge": _Q_TRANSCRIPT_MERGE_SQL,
         "transcript_cjk_stats": _transcript_cjk_stats_sql(),
         "transcript_cer": _Q_TRANSCRIPT_CER_SQL,
+        "transcript_ja_segment": _transcript_ja_segment_sql(),
     }
 
 

@@ -223,6 +223,29 @@ def _lang_id(in_col: str = "text", out_col: str = "lang_pred",
     return step
 
 
+@register_step("ja_segment")
+def _ja_segment(in_col: str = "text", out_col: str = "ja_chunks",
+                model: dict | None = None, concurrency: int = 2,
+                batch_size: int | None = None) -> Step:
+    """Semantic Japanese phrase segmentation (M16): the BudouX inference
+    algorithm compiled once per actor (reference base_generator.py:63,
+    129-155).  ``model=None`` uses the hand-built default; pass trained
+    BudouX JSON weights to reproduce the reference parser exactly.  The
+    regex tokenizer (:func:`token_count` / TOKEN_PATTERN) remains the
+    stateless fallback for non-Japanese or throughput-critical paths."""
+    from .functions.jatok import JaSegmentStage
+
+    def step(ds: rd.Dataset) -> rd.Dataset:
+        return ds.map_batches(
+            JaSegmentStage,
+            fn_constructor_kwargs={"text_col": in_col, "out_col": out_col,
+                                   "model": model},
+            batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size,
+        )
+
+    return step
+
+
 @register_step("extract_turns")
 def _extract_turns(batch_size: int | None = None,
                    concurrency: int | tuple[int, int] | None = None,
