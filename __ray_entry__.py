@@ -580,14 +580,31 @@ def _registry_clean_sql() -> str:
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing demo: fake-codec decode → feature extraction on an
-    actor pool over binary payload rows (rows-only: no SQL analog)."""
+    """Multimodal decode → feature extraction on an actor pool over binary
+    payload rows, using the REAL codecs (uncompressed BMP / netpbm / PCM WAV
+    decoded from their public specs with numpy+stdlib — functions/
+    imagecodec.py; rows-only: binary payloads have no SQL analog)."""
     import ray.data as rd
-    from manga_ocr_ray.stages.media import make_fake_media_table, media_feature_pipeline
+    from manga_ocr_ray.stages.media import make_real_media_table, media_feature_pipeline
 
     n = max(64, int(6400 * _sf_of(sf_dir)))
-    ds = rd.from_arrow(make_fake_media_table(n)).repartition(max(2, n // 64))
-    return media_feature_pipeline(ds, concurrency=(1, 2), batch_size=64)
+    ds = rd.from_arrow(make_real_media_table(n)).repartition(max(2, n // 64))
+    return media_feature_pipeline(ds, concurrency=(1, 2), batch_size=64,
+                                  fake_codec=False)
+
+
+def _q_media_exttool(sf_dir: str):
+    """External-process-per-actor (A4, the reference's persistent renderer
+    process — renderer.py:121-171): each actor spawns one worker subprocess
+    that decodes payloads over a length-prefixed pipe protocol, restarted on
+    crash (rows-only: subprocess output has no SQL analog)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.extproc import external_tool_pipeline
+    from manga_ocr_ray.stages.media import make_real_media_table
+
+    n = max(48, int(2400 * _sf_of(sf_dir)))
+    ds = rd.from_arrow(make_real_media_table(n)).repartition(max(2, n // 48))
+    return external_tool_pipeline(ds, concurrency=(1, 2), batch_size=48)
 
 
 def _q_media_frames(sf_dir: str):
@@ -686,8 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_quantiles_approx_grouped": _q_orders_quantiles_approx_grouped,
         "embedding_ivf_topk": _q_embedding_ivf_topk,
         "embedding_kmeans": _q_embedding_kmeans,
-        # multimodal plumbing (stubbed codec, real actor-pool pipeline)
+        # multimodal (real BMP/PPM/WAV codecs; video frame-sample stubbed)
         "media_features": _q_media_features,
+        "media_exttool": _q_media_exttool,
         "media_frames": _q_media_frames,
     }
 

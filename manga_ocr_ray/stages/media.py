@@ -7,17 +7,29 @@ filesystem (SURVEY.md §1.1: `manga_ocr/ocr.py:102-110` PIL decode,
 ``map_batches`` stages with small batch sizes (large rows → small batches,
 per the memory-aware sizing rule).
 
-The actual codec calls (PIL/cv2/ffmpeg) are STUBBED — the container has no
-image/audio libs — behind ``Codec`` classes that raise NotImplementedError
-unless a deterministic fake is requested.  The Ray-side plumbing (schemas,
-actor signature, batch sizing, output layout) is real and tested; swapping
-in a real codec is a one-class change.
+Codec support is REAL for every format decodable without third-party libs
+(functions/imagecodec.py: uncompressed BMP, netpbm P5/P6, RIFF PCM WAV —
+public specs, numpy + stdlib only).  Compressed formats (PNG/JPEG/MP4)
+raise NotImplementedError naming the missing lib; ``fake=True`` adds a
+deterministic bytes→pixels fallback for *unknown* payloads so quarantine
+paths stay testable.  Video frame sampling remains stubbed (no ffmpeg).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions.imagecodec import (
+    audio_features,
+    decode_bmp,
+    decode_pnm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    sniff_kind,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -33,24 +45,44 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 32
 
 
+# Rec. 601 luma weights for RGB -> grayscale
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
 class Codec:
-    """Decode stub.  ``fake=True`` gives a deterministic decode (bytes →
-    pseudo-pixels) so pipelines are testable end-to-end in this container."""
+    """Format-sniffing decoder.  BMP / PPM / PGM / WAV decode for REAL
+    (imagecodec.py); PNG/JPEG raise NotImplementedError naming the missing
+    lib; ``fake=True`` additionally decodes *unknown* payloads as
+    deterministic pseudo-pixels so pipelines stay testable with arbitrary
+    bytes."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        kind = sniff_kind(payload)
+        if kind == "bmp":
+            return decode_bmp(payload) @ _LUMA
+        if kind in ("ppm", "pgm"):
+            return decode_pnm(payload) @ _LUMA
+        if kind in ("png", "jpeg"):
+            raise NotImplementedError(f"{kind} decode needs PIL/cv2 (not in this container)")
         if not self.fake:
-            raise NotImplementedError(
-                "real image decode needs PIL/cv2 (not in this container); "
-                "construct Codec(fake=True) for the deterministic test codec"
-            )
+            raise ValueError(f"undecodable image payload (format: {kind})")
         n = max(1, width * height)
         raw = np.frombuffer(payload, dtype=np.uint8)
         reps = int(np.ceil(n / max(1, len(raw)))) if len(raw) else n
         px = np.tile(raw, reps)[:n] if len(raw) else np.zeros(n, np.uint8)
         return px.reshape(max(1, height), -1)
+
+    def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
+        kind = sniff_kind(payload)
+        if kind == "wav":
+            return decode_wav(payload)
+        if not self.fake:
+            raise ValueError(f"undecodable audio payload (format: {kind})")
+        x = (np.frombuffer(payload, np.uint8).astype(np.float64) - 128.0) / 128.0
+        return x, 8000
 
     def sample_frames(self, payload: bytes, duration_ms: int, every_ms: int) -> list[bytes]:
         if not self.fake:
@@ -83,18 +115,31 @@ class MediaFeatureActor:
         cidx = (np.arange(tw) * w // tw).clip(0, w - 1)
         return img[ridx][:, cidx]
 
+    def _feat_one(self, kind: str, payload: bytes, w: int, h: int) -> list[float]:
+        if kind == "audio":
+            x, rate = self.codec.decode_audio(payload)
+            desc = audio_features(x, rate)
+            out = np.zeros(self.proj.shape[1])
+            out[: min(len(desc), len(out))] = desc[: len(out)]
+            return list(out)
+        img = self.codec.decode_image(payload, w, h)
+        small = self._resize(img).astype(np.float64).ravel()
+        if small.size != self.proj.shape[0]:
+            small = np.resize(small, self.proj.shape[0])
+        return list((small / 255.0) @ self.proj)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats: list[list[float] | None] = []
         errors: list[str | None] = []
         widths = batch["width"].to_pylist()
         heights = batch["height"].to_pylist()
-        for payload, w, h in zip(batch["payload"].to_pylist(), widths, heights):
+        # per-row loop is inherent here: each payload is one encoded object
+        # (the vectorization unit is the pixel/sample array inside the codec)
+        for kind, payload, w, h in zip(batch["kind"].to_pylist(),
+                                       batch["payload"].to_pylist(),
+                                       widths, heights):
             try:
-                img = self.codec.decode_image(payload or b"", w or 16, h or 16)
-                small = self._resize(img).astype(np.float64).ravel()
-                if small.size != self.proj.shape[0]:
-                    small = np.resize(small, self.proj.shape[0])
-                feats.append(list((small / 255.0) @ self.proj))
+                feats.append(self._feat_one(kind, payload or b"", w or 16, h or 16))
                 errors.append(None)
             except Exception as exc:  # noqa: BLE001 — quarantine, don't drop
                 feats.append(None)
@@ -117,6 +162,40 @@ def media_feature_pipeline(ds, *, concurrency: int | tuple[int, int] = 2,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def make_real_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic corpus of REALLY-ENCODED payloads — BMP and PPM images
+    plus PCM WAV clips — so the decode path exercised is the production one,
+    not the fake.  Round-robin over the three formats."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0x3EA1]))
+    kinds, payloads, ws, hs, durs = [], [], [], [], []
+    for i in range(n):
+        fmt = ("bmp", "ppm", "wav")[i % 3]
+        if fmt == "wav":
+            rate = 8000
+            t = np.arange(int(rng.integers(rate // 4, rate)), dtype=np.float64)
+            freq = float(rng.uniform(100, 1200))
+            x = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+            kinds.append("audio")
+            payloads.append(encode_wav(x, rate))
+            ws.append(0); hs.append(0)
+            durs.append(int(1000 * len(x) / rate))
+        else:
+            h = int(rng.integers(8, 48)); w = int(rng.integers(8, 48))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            kinds.append("image")
+            payloads.append(encode_bmp(img) if fmt == "bmp" else encode_ppm(img))
+            ws.append(w); hs.append(h)
+            durs.append(0)
+    return pa.table({
+        "media_id": pa.array(np.arange(n)),
+        "kind": pa.array(kinds),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    }, schema=MEDIA_SCHEMA)
 
 
 def make_fake_media_table(n: int = 64, seed: int = 42) -> pa.Table:

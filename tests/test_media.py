@@ -9,9 +9,13 @@ from manga_ocr_ray.stages.media import (
 )
 
 
-def test_codec_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
+def test_codec_raises_without_fake():
+    # unknown bytes: hard error (no silent fake) unless fake=True
+    with pytest.raises(ValueError):
         Codec(fake=False).decode_image(b"x", 4, 4)
+    # compressed formats name the missing lib
+    with pytest.raises(NotImplementedError):
+        Codec(fake=False).decode_image(b"\x89PNG\r\n\x1a\nrest", 4, 4)
     with pytest.raises(NotImplementedError):
         Codec(fake=False).sample_frames(b"x", 1000, 100)
 
@@ -60,3 +64,122 @@ def test_frame_sample_pipeline(ray_session):
     assert out["decode_error"].isna().all()
     assert set(out["frame_idx"]) == {0, 1, 2, 3, 4}
     assert (out.groupby("media_id").size() == 5).all()
+
+
+# ---- real codecs (imagecodec.py) -------------------------------------------
+
+
+def test_bmp_roundtrip():
+    from manga_ocr_ray.functions.imagecodec import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 7), (16, 16), (13, 31)]:  # odd widths hit row padding
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # grayscale input encodes as replicated RGB
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(g))
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
+
+
+def test_pnm_roundtrip():
+    from manga_ocr_ray.functions.imagecodec import decode_pnm, encode_ppm
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_ppm(img)), img)
+    g = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    out = decode_pnm(encode_ppm(g))  # P5 → replicated channels
+    assert np.array_equal(out[:, :, 1], g)
+    # comment lines in the header are skipped per the netpbm spec
+    with_comment = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    assert decode_pnm(with_comment).shape == (2, 3, 3)
+
+
+def test_wav_roundtrip_and_features():
+    from manga_ocr_ray.functions.imagecodec import (audio_features, decode_wav,
+                                                    encode_wav)
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    x = (np.sin(2 * np.pi * 440 * t / rate) * 16000).astype(np.int16)
+    y, got_rate = decode_wav(encode_wav(x, rate))
+    assert got_rate == rate and len(y) == rate
+    assert np.allclose(y, x / 32768.0, atol=1e-9)
+    feats = audio_features(y, rate)
+    assert abs(feats[0] - 1.0) < 1e-9          # duration
+    assert abs(feats[1] - np.sqrt(0.5) * 16000 / 32768) < 1e-3  # sine RMS
+    assert abs(feats[3] - 440.0) < 5.0          # spectral centroid at the tone
+    # stereo averages to mono
+    stereo = np.stack([x, np.zeros_like(x)], axis=1)
+    ym, _ = decode_wav(encode_wav(stereo, rate))
+    assert np.allclose(ym, x / 65536.0, atol=1e-9)
+
+
+def test_real_media_pipeline_ray(ray_session):
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.media import make_real_media_table
+
+    ds = rd.from_arrow(make_real_media_table(48)).repartition(4)
+    out = media_feature_pipeline(ds, concurrency=(1, 2), batch_size=16,
+                                 fake_codec=False).to_pandas()
+    assert len(out) == 48
+    assert out["decode_error"].isna().all()   # every REAL payload decodes
+    assert all(len(f) == 32 for f in out["features"])
+    # audio features carry the duration in slot 0
+    audio = out[out["kind"] == "audio"]
+    assert (audio["features"].map(lambda f: f[0]) > 0).all()
+
+
+def test_real_codec_quarantines_corrupt_payload():
+    from manga_ocr_ray.stages.media import make_real_media_table
+
+    t = make_real_media_table(6)
+    # truncate one BMP payload so the decode fails
+    payloads = t["payload"].to_pylist()
+    payloads[0] = payloads[0][:10]
+    import pyarrow as pa
+
+    t = t.set_column(t.column_names.index("payload"), "payload",
+                     pa.array(payloads, pa.binary()))
+    out = MediaFeatureActor(fake_codec=False)(t)
+    errs = out["decode_error"].to_pylist()
+    assert errs[0] is not None and all(e is None for e in errs[1:])
+
+
+# ---- external-process-per-actor (A4) ---------------------------------------
+
+
+def test_external_tool_actor_decodes_and_restarts():
+    from manga_ocr_ray.functions.imagecodec import encode_bmp, encode_wav
+    from manga_ocr_ray.stages.extproc import ExternalToolActor
+
+    actor = ExternalToolActor()
+    try:
+        img = np.full((4, 4, 3), 7, dtype=np.uint8)
+        r = actor.call_one(encode_bmp(img))
+        assert r == {"kind": "bmp", "height": 4, "width": 4, "mean": 7.0}
+        first_pid = actor.proc.pid
+        # crash the worker; the actor must respawn and keep serving
+        crash = actor.call_one(b"CRASH")
+        assert crash["kind"] == "error" and "crashed" in crash["error"]
+        assert actor.proc.pid != first_pid
+        x = (np.ones(800) * 1000).astype(np.int16)
+        r2 = actor.call_one(encode_wav(x, 8000))
+        assert r2["kind"] == "wav" and r2["n_samples"] == 800
+    finally:
+        actor.proc.kill()
+
+
+def test_external_tool_pipeline_ray(ray_session):
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.extproc import external_tool_pipeline
+    from manga_ocr_ray.stages.media import make_real_media_table
+
+    ds = rd.from_arrow(make_real_media_table(24)).repartition(2)
+    out = external_tool_pipeline(ds, concurrency=(1, 2), batch_size=8).to_pandas()
+    assert len(out) == 24
+    assert out["tool_error"].isna().all()
+    assert set(out["tool_kind"]) == {"bmp", "ppm", "wav"}
