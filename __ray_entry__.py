@@ -695,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-green in round 2, so it yields its window slot to the new
         # transcript_ja_segment oracle) ----
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "events_range_join": R.q_events_range_join,
+        "events_lag_lead": R.q_events_lag_lead,
         "spec_clean": _q_spec_clean,
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -737,6 +739,8 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_with_bigparts": R.Q_SUPPLIERS_WITH_BIGPARTS_SQL,
         "event_types": R.Q_EVENT_TYPES_SQL,
         "events_moving_avg": R.Q_EVENTS_MOVING_AVG_SQL,
+        "events_range_join": R.Q_EVENTS_RANGE_JOIN_SQL,
+        "events_lag_lead": R.Q_EVENTS_LAG_LEAD_SQL,
         "events_heavy_users": _Q_EVENTS_HEAVY_USERS_SQL,
         "orders_price_quantiles": R.Q_ORDERS_PRICE_QUANTILES_SQL,
         "doc_token_count": D.Q_DOC_TOKEN_COUNT_SQL,

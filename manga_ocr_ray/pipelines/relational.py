@@ -961,3 +961,124 @@ SELECT o_orderkey, o_totalprice,
        row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
 FROM orders
 """
+
+
+# ---- range join (custom operator Ray Data lacks) ---------------------------
+
+def q_events_range_join(sf_dir: str) -> rd.Dataset:
+    """Range join: each signup joined to the same user's purchases inside
+    [signup_ts, signup_ts + 7 days] — the interval-predicate join Ray Data
+    has no native operator for.
+
+    Composition: hash-shard on user, then per shard TWO vectorized
+    ``merge_asof(by=user)`` probes against per-user cumulative (count, cents)
+    prefix tables — window aggregate = C(hi, inclusive) − C(lo, exclusive).
+    No per-user Python; money in exact int64 cents so the distributed sum is
+    bit-equal to the SQL twin.  Partitioning assumption: one user's events
+    fit one shard (same as the as-of join; salt by time range to relax)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts",
+                                  "value"])
+
+    def rjoin(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "n_purchases": pd.Series([], dtype="int64"),
+            "sum_value_cents": pd.Series([], dtype="int64"),
+        })
+        g = g.astype({"ts": "datetime64[us]"})  # one unit for both asof sides
+        s = g.loc[g.event_type == "signup",
+                  ["event_id", "user_id", "ts"]]
+        if s.empty:
+            return empty
+        p = g.loc[g.event_type == "purchase",
+                  ["user_id", "ts", "value"]].copy()
+        if p.empty:
+            out = s[["event_id", "user_id"]].copy()
+            out["n_purchases"] = np.int64(0)
+            out["sum_value_cents"] = np.int64(0)
+            return out.astype({"event_id": "int64", "user_id": "int64"})
+        p["cents"] = (p["value"] * 100).round().astype("int64")
+        # per-user cumulative prefix tables, then ONE global t-sort so both
+        # asof probes are a single vectorized pass over the shard
+        p = p.sort_values(["user_id", "ts"], kind="mergesort")
+        p["cum_n"] = p.groupby("user_id").cumcount().astype("int64") + 1
+        p["cum_c"] = p.groupby("user_id")["cents"].cumsum()
+        p = p.rename(columns={"ts": "t"})[["user_id", "t", "cum_n", "cum_c"]]
+        p = p.sort_values("t", kind="mergesort")
+
+        def probe(at: pd.Series, inclusive: bool) -> pd.DataFrame:
+            q = s[["event_id", "user_id"]].copy()
+            q["t"] = at.values.astype("datetime64[us]")
+            q = q.sort_values("t", kind="mergesort")
+            m = pd.merge_asof(q, p, on="t", by="user_id",
+                              direction="backward",
+                              allow_exact_matches=inclusive)
+            m = m.set_index("event_id")
+            return m[["cum_n", "cum_c"]].fillna(0).astype("int64")
+
+        hi = probe(s["ts"] + pd.Timedelta(days=7), inclusive=True)
+        lo = probe(s["ts"], inclusive=False)
+        out = s[["event_id", "user_id"]].set_index("event_id")
+        out["n_purchases"] = hi["cum_n"] - lo["cum_n"]
+        out["sum_value_cents"] = hi["cum_c"] - lo["cum_c"]
+        return out.reset_index()
+
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        rjoin, batch_format="pandas")
+
+
+Q_EVENTS_RANGE_JOIN_SQL = """
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+     p AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase')
+SELECT s.event_id, s.user_id,
+       CAST(count(p.user_id) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(sum(p.cents), 0) AS BIGINT) AS sum_value_cents
+FROM s LEFT JOIN p
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+GROUP BY s.event_id, s.user_id
+"""
+
+
+# ---- lag / lead window functions -------------------------------------------
+
+def q_events_lag_lead(sf_dir: str) -> rd.Dataset:
+    """Per-user LAG/LEAD: previous event id, microsecond gap to it, and next
+    event type, in (ts, event_id) order — shard-grouped, one vectorized
+    ``groupby.shift`` pass per shard.  Sentinels (-1 / '') instead of nulls
+    keep dtypes exact across the engine/SQL hash compare."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def laglead(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id")
+        prev_id = grp["event_id"].shift(1)
+        prev_ts = grp["ts"].shift(1)
+        next_type = grp["event_type"].shift(-1)
+        cur_us = g["ts"].values.astype("datetime64[us]").astype("int64")
+        prev_us = prev_ts.values.astype("datetime64[us]").astype("int64")
+        first = prev_id.isna().values
+        return pd.DataFrame({
+            "event_id": g["event_id"].values,
+            "prev_event_id": np.where(first, -1, prev_id.fillna(0).values).astype("int64"),
+            "gap_us": np.where(first, -1, cur_us - prev_us).astype("int64"),
+            "next_event_type": next_type.fillna("").values,
+        })
+
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        laglead, batch_format="pandas")
+
+
+Q_EVENTS_LAG_LEAD_SQL = """
+SELECT event_id,
+       CAST(COALESCE(lag(event_id) OVER w, -1) AS BIGINT) AS prev_event_id,
+       CAST(COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) AS BIGINT)
+         AS gap_us,
+       COALESCE(lead(event_type) OVER w, '') AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

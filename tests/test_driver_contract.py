@@ -45,6 +45,7 @@ def test_entry_returns_rows(entrymod):
     "q1_pricing_summary", "order_revenue_join", "customers_no_orders",
     "events_asof_signup", "event_types", "doc_normalize", "doc_tokens",
     "registry_clean", "doc_minhash_keep", "doc_lang_id", "embedding_topk",
+    "events_range_join", "events_lag_lead", "transcript_ja_segment",
 ])
 def test_query_matches_oracle_rowcount(entrymod, con, name):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
