@@ -95,6 +95,40 @@ def run_headline(corpus: str) -> dict:
     return {"sec": best, "turns": n, "turns_per_sec": n / best}
 
 
+def run_extract_merge(corpus: str) -> dict:
+    """Extract → conversation_merge → write, end-to-end (both the extraction
+    actor pool AND the two-stage salted merge shuffle in one timed graph)."""
+    import ray.data as rd
+
+    from manga_ocr_ray.corpus import transcripts_dataset
+    from manga_ocr_ray.pipelines.extract import (conversation_merge,
+                                                 extract_turns,
+                                                 read_transcripts)
+
+    conversation_merge(
+        extract_turns(transcripts_dataset(2_000, seed=7), num_buckets=64)).count()
+    rd.read_parquet(corpus).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow").count()
+
+    n_blocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", str(11 * NUM_CPUS)))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    best, n_turns, n_convs = float("inf"), 0, 0
+    for _ in range(reps):
+        out_dir = f"{CACHE_ROOT}/merged_{NUM_CPUS}_{time.time_ns()}"
+        t0 = time.perf_counter()
+        merged = conversation_merge(extract_turns(
+            read_transcripts(corpus, override_num_blocks=n_blocks),
+            num_buckets=64))
+        merged.write_parquet(out_dir, min_rows_per_file=100_000)
+        best = min(best, time.perf_counter() - t0)
+        got = rd.read_parquet(out_dir, columns=["n_turns"])
+        n_convs = got.count()
+        n_turns = int(got.sum("n_turns"))
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": best, "turns": n_turns, "convs": n_convs,
+            "turns_per_sec": n_turns / best}
+
+
 def run_queries() -> dict[str, float]:
     import __ray_entry__ as E
 
@@ -213,8 +247,29 @@ def scaling() -> None:
     }))
 
 
+def merge_main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    r = run_extract_merge(ensure_corpus())
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "transcript_extract_plus_merge_end_to_end",
+        "value": round(r["sec"], 3), "unit": "sec",
+        "turns": r["turns"], "convs": r["convs"],
+        "turns_per_sec": round(r["turns_per_sec"], 1),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--merge" in sys.argv:
+        merge_main()
     else:
         main()
