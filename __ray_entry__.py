@@ -697,6 +697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "events_range_join": R.q_events_range_join,
         "events_lag_lead": R.q_events_lag_lead,
+        "events_pivot_daily": R.q_events_pivot_daily,
+        "customers_churned_1996": R.q_customers_churned_1996,
         "spec_clean": _q_spec_clean,
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -741,6 +743,8 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": R.Q_EVENTS_MOVING_AVG_SQL,
         "events_range_join": R.Q_EVENTS_RANGE_JOIN_SQL,
         "events_lag_lead": R.Q_EVENTS_LAG_LEAD_SQL,
+        "events_pivot_daily": R.Q_EVENTS_PIVOT_DAILY_SQL,
+        "customers_churned_1996": R.Q_CUSTOMERS_CHURNED_1996_SQL,
         "events_heavy_users": _Q_EVENTS_HEAVY_USERS_SQL,
         "orders_price_quantiles": R.Q_ORDERS_PRICE_QUANTILES_SQL,
         "doc_token_count": D.Q_DOC_TOKEN_COUNT_SQL,

@@ -1082,3 +1082,83 @@ SELECT event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+# ---- pivot / crosstab ------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot_daily(sf_dir: str) -> rd.Dataset:
+    """Pivot (crosstab): one row per day, one count column per event type.
+    Wide-to-columns via vectorized one-hot int64 columns + ONE combining
+    groupby — per-block partials shrink to (days × types) before the
+    shuffle, so the exchange is tiny at any scale.  The column set is the
+    FIXED public event-type vocabulary (schema stability; an unexpected
+    type lands in none of the columns and would be caught by n_total)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def onehot(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        cols: dict[str, pa.Array] = {"day": day}
+        for et in EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et), pa.int64())
+        cols["n_total"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(onehot, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*[Sum(f"n_{et}", alias_name=f"n_{et}") for et in EVENT_TYPES],
+                   Sum("n_total", alias_name="n_total"))
+    )
+
+
+Q_EVENTS_PIVOT_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY 1
+"""
+
+
+# ---- set difference (EXCEPT) as one combining groupby ----------------------
+
+def q_customers_churned_1996(sf_dir: str) -> rd.Dataset:
+    """EXCEPT set op: customers who ordered in 1995 but not in 1996 —
+    expressed as ONE combining groupby (per-key max of year flags, then a
+    flag filter) instead of two distincts + an anti join: a single small
+    shuffle of (key, 2 bits) partials.  INTERSECT is the same graph with
+    the filter y95 & y96."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "y95": pc.cast(pc.equal(y, 1995), pa.int64()),
+            "y96": pc.cast(pc.equal(y, 1996), pa.int64()),
+        })
+
+    agg = (ds.map_batches(flags, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Max("y95", alias_name="y95"), Max("y96", alias_name="y96")))
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["y95"], 1), pc.equal(t["y96"], 0))
+        return t.filter(mask).select(["o_custkey"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+Q_CUSTOMERS_CHURNED_1996_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
