@@ -200,25 +200,38 @@ def scaling() -> None:
     # back-to-back in fresh processes — both legs of a pair see the same
     # host conditions — and the reported efficiency is the MEDIAN pair,
     # with the best pair and every pair listed alongside.
-    def run_child(ncpu: int) -> dict:
+    def cpu_snap() -> tuple[int, int]:
+        # (total_jiffies, steal_jiffies) — steal is hypervisor-level CPU
+        # theft, the objective signature of this shared VM's noise windows.
+        f = open("/proc/stat").readline().split()
+        v = list(map(int, f[1:]))
+        return sum(v), v[7] if len(v) > 7 else 0
+
+    def run_child(ncpu: int) -> tuple[dict, float]:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1",
                    GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "1"))
+        t0, s0 = cpu_snap()
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        t1, s1 = cpu_snap()
+        steal_pct = round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
+        return json.loads(out.strip().splitlines()[-1]), steal_pct
 
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     pairs = []
     for _ in range(rounds):
-        r8, r32 = run_child(8), run_child(32)
+        (r8, st8), (r32, st32) = run_child(8), run_child(32)
         pairs.append({
             "turns": r32["turns"],
             "sec_8cpu": r8["value"], "sec_32cpu": r32["value"],
             "turns_per_sec_8cpu": r8["turns_per_sec"],
             "turns_per_sec_32cpu": r32["turns_per_sec"],
             "efficiency": round((r32["turns_per_sec"] / r8["turns_per_sec"]) / 4, 3),
+            # host-condition evidence only — never used for selection
+            "host_steal_pct_8cpu_leg": st8,
+            "host_steal_pct_32cpu_leg": st32,
         })
     # Headline = the MEDIAN pair, clamped to 1.0 (r2 judge: best-of-N on a
     # ratio is biased upward — a noise-slowed 8-cpu leg inflates it, and
@@ -244,6 +257,9 @@ def scaling() -> None:
         "median_pair_efficiency": med["efficiency"],
         "best_pair_efficiency": min(best["efficiency"], 1.0),
         "per_pair_efficiency": [p["efficiency"] for p in pairs],
+        "per_pair_host_steal_pct": [
+            [p["host_steal_pct_8cpu_leg"], p["host_steal_pct_32cpu_leg"]]
+            for p in pairs],
     }))
 
 
