@@ -663,7 +663,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": R.q_events_cumulative,
         "doc_char_classes": R.q_doc_char_classes,
         "customers_no_orders": R.q_customers_no_orders,
-        "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "event_types": R.q_event_types,
         "events_moving_avg": R.q_events_moving_avg,
         "orders_price_quantiles": R.q_orders_price_quantiles,
@@ -677,28 +676,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": D.q_doc_token_count,
         "doc_tokens": D.q_doc_tokens,
         "registry_clean": _q_registry_clean,
-        "doc_top_tokens": D.q_doc_top_tokens,
         "doc_repetition": D.q_doc_repetition,
-        "doc_scrub_urls": D.q_doc_scrub_urls,
         "doc_charset_coverage": D.q_doc_charset_coverage,
         "training_mix": D.q_training_mix,
+        # new round-3 relational operators (range join, lag/lead window,
+        # pivot/crosstab, EXCEPT) — in-window so the driver certifies them
+        "events_range_join": R.q_events_range_join,
+        "events_lag_lead": R.q_events_lag_lead,
+        "events_pivot_daily": R.q_events_pivot_daily,
+        "customers_churned_1996": R.q_customers_churned_1996,
         # training-data operators
         "doc_minhash_dedup": _q_doc_minhash_dedup,
-        "doc_minhash_keep": D.q_doc_minhash_keep,
         "events_heavy_users": _q_events_heavy_users,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_lang_id": _q_doc_lang_id,
         "embedding_topk": _q_embedding_topk,
         # ---- driver window boundary (entries below are redundant-oracle
         # twins already driver-green in round 2, or rows-only by design;
-        # embedding_near_dup_lsh shares its SQL with the exact twin and was
-        # driver-green in round 2, so it yields its window slot to the new
-        # transcript_ja_segment oracle) ----
+        # each displaced twin's family keeps an in-window representative:
+        # doc_minhash_keep ↔ doc_minhash_dedup, doc_top_tokens/doc_scrub_urls
+        # ↔ doc_tokens/doc_normalize, suppliers_with_bigparts ↔
+        # customers_no_orders, embedding_near_dup_lsh ↔ embedding_topk) ----
+        "doc_minhash_keep": D.q_doc_minhash_keep,
+        "doc_top_tokens": D.q_doc_top_tokens,
+        "doc_scrub_urls": D.q_doc_scrub_urls,
+        "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "events_range_join": R.q_events_range_join,
-        "events_lag_lead": R.q_events_lag_lead,
-        "events_pivot_daily": R.q_events_pivot_daily,
-        "customers_churned_1996": R.q_customers_churned_1996,
         "spec_clean": _q_spec_clean,
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
