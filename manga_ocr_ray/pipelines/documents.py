@@ -234,12 +234,20 @@ FROM toks
 def q_doc_minhash_keep(sf_dir: str) -> rd.Dataset:
     """Every document with its near-dup cluster representative (min doc_id
     over the connected component of exact-Jaccard≥0.8 LSH pairs).  Oracle:
-    recursive-CTE reachability closure in DuckDB."""
-    from ..stages.dedup import minhash_lsh_pairs, near_dup_cluster_assign
+    recursive-CTE reachability closure in DuckDB.
+
+    Fully distributed end to end: LSH pairs stay a Dataset, connected
+    components run as min-label propagation + pointer jumping
+    (``cluster_reps_ds`` — two joins + a groupby per round over the
+    pair-touched label table), and the corpus picks up its rep via one LEFT
+    OUTER hash join.  Nothing corpus- or pair-sized touches the driver.
+    The driver-side union-find twin (``near_dup_cluster_assign``) remains as
+    the small-scale path, pinned equal in tests/test_dedup.py."""
+    from ..stages.dedup import minhash_lsh_pairs_ds, near_dup_cluster_assign_ds
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, threshold=0.8, num_hashes=128, bands=32)
-    out = near_dup_cluster_assign(_docs(sf_dir, ["doc_id"]), pairs)
+    pairs = minhash_lsh_pairs_ds(ds, threshold=0.8, num_hashes=128, bands=32)
+    out = near_dup_cluster_assign_ds(_docs(sf_dir, ["doc_id"]), pairs)
     return out.select_columns(["doc_id", "cluster_rep"])
 
 

@@ -702,3 +702,143 @@ def near_dup_cluster_assign(
         return t.append_column("cluster_rep", pa.array(out))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---- distributed connected components ---------------------------------------
+
+def cluster_reps_ds(
+    pairs: rd.Dataset,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int = 16,
+    max_rounds: int = 40,
+) -> rd.Dataset:
+    """Distributed connected components over a pair Dataset → ``(node, label)``
+    with ``label`` = min node id in the component (Dataset stays on the
+    cluster; nothing corpus-sized touches the driver).
+
+    Algorithm: min-label propagation with pointer jumping.  Each round is
+    two hash-partitioned joins + one combining groupby over the LABELS table
+    (pair-touched nodes only — tiny relative to the corpus):
+
+    1. neighbor-min  ``l(v) ← min(l(v), min_{u∈N(v)} l(u))`` — join edge
+       endpoints to labels, union with current labels, ``groupby(node).min``.
+    2. pointer jump  ``l(v) ← l(l(v))`` — join labels to themselves on the
+       label column (every label is itself a touched node, so the join is
+       total).  This is pointer doubling: combined with step 1 it converges
+       in O(log(longest chain)) rounds instead of O(diameter).
+
+    Invariant ``l(v) ≤ v`` holds throughout and labels are per-node
+    non-increasing, so a round that changes no label is a fixed point; at a
+    fixed point labels are constant per component and equal to the component
+    min.  Convergence is detected by an exact changed-row count (join old vs
+    new on node), NOT a sum of labels — an int64 label sum can overflow at
+    10^12-row id spaces.
+
+    ``max_rounds=40`` is a safety backstop (2^40 chain length), never the
+    expected exit.  Pinned against the driver-side union-find twin
+    (:func:`cluster_reps`) in tests/test_dedup.py.
+    """
+    import pyarrow.compute as pc
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[id_a].combine_chunks(), pa.int64())
+        b = pc.cast(t[id_b].combine_chunks(), pa.int64())
+        return pa.table({
+            "node": pa.concat_arrays([a, b]),
+            "nbr": pa.concat_arrays([b, a]),
+        })
+
+    edges = (
+        pairs.select_columns([id_a, id_b])
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+        }))
+    # initial labels: every touched node labels itself
+    labels = (
+        edges.select_columns(["node"])
+        .groupby("node")
+        .aggregate(Min("node", alias_name="label"))
+        .materialize()
+    )
+
+    def count_changed(t: pa.Table) -> pa.Table:
+        ne = pc.not_equal(t["label"], t["old_label"])
+        n = pc.sum(pc.cast(ne, pa.int64())).as_py() or 0
+        return pa.table({"changed": pa.array([n], pa.int64())})
+
+    for _ in range(max_rounds):
+        # 1. neighbor-min
+        msgs = (
+            edges.join(labels.rename_columns({"node": "nbr"}),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("nbr",))
+            .select_columns(["node", "label"])
+        )
+        stepped = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+        # 2. pointer jump: l(v) <- l(l(v))
+        lut = stepped.rename_columns({"node": "label_key", "label": "label_parent"})
+        jumped = (
+            stepped.join(lut, join_type="inner", num_partitions=num_partitions,
+                         on=("label",), right_on=("label_key",))
+            .select_columns(["node", "label_parent"])
+            .rename_columns({"label_parent": "label"})
+            .materialize()
+        )
+        changed = (
+            jumped.join(labels.rename_columns({"label": "old_label"}),
+                        join_type="inner", num_partitions=num_partitions,
+                        on=("node",))
+            .map_batches(count_changed, batch_format="pyarrow")
+            .sum("changed")
+        )
+        labels = jumped
+        if not changed:
+            break
+    return labels
+
+
+def near_dup_cluster_assign_ds(
+    ds: rd.Dataset,
+    pairs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Fully distributed cluster-rep assignment: connected components over the
+    verified pair Dataset (:func:`cluster_reps_ds`), then a LEFT OUTER hash
+    join of the corpus onto the label table — untouched rows coalesce to their
+    own id.  The scale path for :func:`near_dup_cluster_assign` (which
+    broadcasts a driver-built union-find map: right choice while the verified
+    pair set is driver-small, wrong choice at 10^12 rows)."""
+    import pyarrow.compute as pc
+
+    labels = cluster_reps_ds(pairs, num_partitions=num_partitions)
+    if labels.count() == 0:  # no pairs: everyone is their own rep (and the
+        # Arrow hash join rejects a zero-block right side)
+        def own(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "cluster_rep", pc.cast(t[id_col], pa.int64()))
+        return ds.map_batches(own, batch_format="pyarrow")
+    joined = ds.join(
+        labels.rename_columns({"node": id_col, "label": "cluster_rep"}),
+        join_type="left_outer", num_partitions=num_partitions, on=(id_col,),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        rep = pc.coalesce(pc.cast(t["cluster_rep"], pa.int64()),
+                          pc.cast(t[id_col], pa.int64()))
+        i = t.schema.get_field_index("cluster_rep")
+        return t.set_column(i, "cluster_rep", rep)
+
+    return joined.map_batches(fill, batch_format="pyarrow")

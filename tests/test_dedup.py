@@ -140,3 +140,52 @@ def test_simhash_batch_bit_identical_to_scalar():
     scalar = simhash64(texts)
     batch = simhash64_batch(pa.array(texts, pa.string()))
     assert (scalar == batch).all(), np.flatnonzero(scalar != batch)
+
+
+def test_cluster_reps_ds_matches_union_find(ray_session):
+    """Distributed connected components (min-label propagation + pointer
+    jumping over Dataset joins) must assign exactly the same cluster reps as
+    the driver-side union-find twin — including on a 61-node chain (exercises
+    multi-round convergence / pointer doubling) and isolated nodes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.dedup import (
+        cluster_reps,
+        near_dup_cluster_assign_ds,
+    )
+
+    rng = np.random.default_rng(7)
+    ids = np.arange(1000, 1300)
+    chain = [(int(ids[i]), int(ids[i + 1])) for i in range(60)]
+    rand = [(int(rng.choice(ids)), int(rng.choice(ids))) for _ in range(80)]
+    pairs = pd.DataFrame(
+        [(a, b) for a, b in chain + rand if a != b], columns=["id_a", "id_b"]
+    )
+    expected = cluster_reps(pairs, ids).sort_values("doc_id")
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    got = (
+        near_dup_cluster_assign_ds(docs, rd.from_pandas(pairs), num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (expected["cluster_rep"].to_numpy() == got["cluster_rep"].to_numpy()).all()
+    assert expected["cluster_rep"].nunique() == got["cluster_rep"].nunique()
+
+
+def test_cluster_reps_ds_empty_pairs(ray_session):
+    """No pairs → every row is its own representative (the Arrow join can't
+    take a zero-block side, so the short-circuit path must cover it)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.dedup import near_dup_cluster_assign_ds
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([5, 9, 2], pa.int64())}))
+    empty = rd.from_pandas(pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+    }))
+    got = near_dup_cluster_assign_ds(docs, empty).to_pandas()
+    assert (got["doc_id"] == got["cluster_rep"]).all() and len(got) == 3
