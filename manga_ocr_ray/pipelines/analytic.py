@@ -1,0 +1,390 @@
+"""Round-3 analytic operator families over the TPC-H-ish tables.
+
+New operator shapes not covered by pipelines/relational.py: a 6-table
+multi-join with a same-nation correlation predicate (TPC-H Q5), ROLLUP
+super-aggregates, exact distributed NTILE, a two-pass centered correlation
+aggregate, INTERSECT, and per-group dense rank.  Same conventions as
+relational.py: pruned parquet reads, pyarrow.compute kernels per batch,
+broadcast small sides, combining groupbys, exact int64-cents money math
+(float Sum across distributed blocks is order-nondeterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .relational import _cents, _join_partitions, _pq
+
+
+# ---- TPC-H Q5 shape: 6-table join with a same-nation predicate --------------
+
+def q5_nation_volume(sf_dir: str) -> rd.Dataset:
+    """Revenue per ASIA nation from 1996 orders where the line item's
+    supplier and the ordering customer share a nation (TPC-H Q5 shape).
+
+    Join plan (most selective first, one partitioning key reused):
+    - nation ⋈ region filtered to ASIA → a 5-entry dict, broadcast;
+    - customer filtered to ASIA nations via that dict (map-side, no
+      shuffle) → (c_custkey, c_nationkey);
+    - orders pruned to the 1996 window at the read's filter kernel, then
+      hash-join orders ⋈ customer on custkey (large-large);
+    - lineitem reduced to (l_orderkey, l_suppkey, rev_e4 int64 cents²)
+      and hash-joined on orderkey — the same key the previous join
+      produced, so only lineitem reshuffles;
+    - supplier is a dimension table (10k rows/SF): broadcast as a
+      suppkey→nationkey int array lookup, NOT a third all-to-all join
+      (at 100 TB supplier is ~1e9 rows ≈ 8 GB int64 pairs — past the
+      broadcast budget; flip ``broadcast_supplier=False`` to hash-join);
+    - same-nation filter + nation-name projection per batch, then one
+      combining groupby(n_name) over int64 cents.
+    """
+    nation = pd.read_parquet(_pq(sf_dir, "nation"))
+    region = pd.read_parquet(_pq(sf_dir, "region"))
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"]
+    nat_name = dict(zip(asia["n_nationkey"].astype("int64"), asia["n_name"]))
+    asia_keys = np.fromiter(nat_name, dtype=np.int64)
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                                    value_set=pa.array(asia_keys))),
+        batch_format="pyarrow")
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                                   pc.less(t["o_orderdate"], pa.scalar(hi))))
+                   .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(_cents(t["l_extendedprice"]),
+                        pc.subtract(pa.scalar(100, pa.int64()),
+                                    _cents(t["l_discount"])))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "rev_e4": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+
+    sup = pd.read_parquet(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sup_lut = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    sup_lut[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    sup_ref = ray.put(sup_lut)
+
+    n = _join_partitions()
+    oc = orders.join(cust, join_type="inner", num_partitions=n,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(oc, join_type="inner", num_partitions=n,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class SameNation:
+        """Per-actor: fetch the broadcast supplier LUT once, then filter
+        each batch to supplier-nation == customer-nation and project the
+        nation name."""
+
+        def __init__(self, ref, names: dict[int, str]):
+            self.lut = ray.get(ref)
+            self.names = names
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            supk = t["l_suppkey"].combine_chunks().to_numpy()
+            s_nat = self.lut[supk]
+            c_nat = pc.cast(t["c_nationkey"], pa.int64()).combine_chunks().to_numpy()
+            keep = s_nat == c_nat
+            nk = c_nat[keep]
+            names = pd.Series(nk).map(self.names).to_numpy(dtype=object)
+            return pa.table({
+                "n_name": pa.array(names, pa.string()),
+                "rev_e4": t["rev_e4"].filter(pa.array(keep)),
+            })
+
+    matched = j.map_batches(SameNation, fn_constructor_args=(sup_ref, nat_name),
+                            batch_format="pyarrow", concurrency=2)
+    agg = matched.groupby("n_name").aggregate(Sum("rev_e4", alias_name="rev_e4"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["rev_e4"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({"n_name": t["n_name"], "revenue": r / 10000.0})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+              .sort(["revenue"], descending=True)
+
+
+Q5_NATION_VOLUME_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+# ---- ROLLUP super-aggregates -------------------------------------------------
+
+def q_events_rollup(sf_dir: str) -> rd.Dataset:
+    """``GROUP BY ROLLUP(event_type, day)`` counts — the finest level is one
+    combining groupby over the full table; both super-aggregate levels
+    re-aggregate THAT small result (types × days rows), so the raw table is
+    scanned and shuffled exactly once regardless of how many rollup levels
+    stack on top."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    fine = ds.map_batches(keys, batch_format="pyarrow") \
+             .groupby(["event_type", "day"]).aggregate(Count(alias_name="n")) \
+             .materialize()  # consumed 3× (fine + both super-levels); tiny
+    per_type = fine.groupby("event_type").aggregate(Sum("n", alias_name="n"))
+    total = fine.sum("n")
+
+    def null_day(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "day": pa.nulls(t.num_rows, pa.string()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    def as_i64(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("n"), "n",
+                            pc.cast(t["n"], pa.int64()))
+
+    grand = rd.from_arrow(pa.table({
+        "event_type": pa.nulls(1, pa.string()),
+        "day": pa.nulls(1, pa.string()),
+        "n": pa.array([int(total)], pa.int64()),
+    }))
+    return fine.map_batches(as_i64, batch_format="pyarrow") \
+               .union(per_type.map_batches(null_day, batch_format="pyarrow")) \
+               .union(grand)
+
+
+Q_EVENTS_ROLLUP_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+FROM events GROUP BY ROLLUP(event_type, day)
+"""
+
+
+# ---- exact distributed NTILE --------------------------------------------------
+
+def global_ntile(ds: rd.Dataset, keys: list[str], k: int, *,
+                 tile_col: str = "tile",
+                 descending: bool | list[bool] = False) -> rd.Dataset:
+    """``NTILE(k) OVER (ORDER BY keys)`` distributed, with SQL's exact
+    bucket-size rule (first ``n % k`` tiles get ``ceil(n/k)`` rows): sort →
+    per-block row counts (one int each) → driver prefix sum → one parallel
+    task per block assigns tiles vectorized.  Same machinery as
+    :func:`~manga_ocr_ray.pipelines.relational.global_rank` — rows never
+    funnel through the driver.  Include a unique tie-break column in
+    ``keys``; NTILE over a non-total order is nondeterministic in SQL too."""
+    srt = ds.sort(keys, descending=descending).materialize()
+    refs = srt.get_internal_block_refs()
+
+    @ray.remote
+    def _nrows(block) -> int:
+        return block.num_rows if isinstance(block, pa.Table) else len(block)
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    q, r = divmod(n, k)
+    boundary = r * (q + 1)
+
+    @ray.remote
+    def _tile_block(base: int, block) -> pa.Table:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        rank0 = np.arange(base, base + block.num_rows, dtype=np.int64)
+        if q == 0:  # n < k: one row per tile
+            tile = rank0 + 1
+        else:
+            tile = np.where(rank0 < boundary,
+                            rank0 // (q + 1),
+                            r + (rank0 - boundary) // q) + 1
+        return block.append_column(tile_col, pa.array(tile))
+
+    return rd.from_arrow_refs(
+        [_tile_block.remote(int(b), ref) for b, ref in zip(bases, refs)])
+
+
+def q_orders_ntile(sf_dir: str) -> rd.Dataset:
+    """Every order with its price octile (NTILE(8) by totalprice desc)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+    return global_ntile(ds, ["o_totalprice", "o_orderkey"], 8,
+                        descending=[True, False])
+
+
+Q_ORDERS_NTILE_SQL = """
+SELECT o_orderkey, o_totalprice,
+       ntile(8) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS tile
+FROM orders
+"""
+
+
+# ---- correlation aggregate (two-pass, catastrophic-cancellation-free) -------
+
+def q_lineitem_corr(sf_dir: str) -> rd.Dataset:
+    """Pearson corr(l_quantity, l_extendedprice) per returnflag.
+
+    Naive distributed ``sxy - sx*sy/n`` loses ~8 digits to cancellation on
+    1e13-magnitude sums and float block-order nondeterminism; instead:
+    pass 1 computes EXACT per-group means (int64-cents combining groupby),
+    pass 2 broadcasts them and accumulates centered products in float64 —
+    no cancellation, so the result agrees with any other accurate
+    implementation (DuckDB's streaming corr) to ~1e-12."""
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty_c": _cents(t["l_quantity"]),
+            "price_c": _cents(t["l_extendedprice"]),
+        })
+
+    sums = (ds.map_batches(cents_partial, batch_format="pyarrow")
+              .groupby("l_returnflag")
+              .aggregate(Count(alias_name="n"),
+                         Sum("qty_c", alias_name="sq"),
+                         Sum("price_c", alias_name="sp"))
+              .to_pandas())
+    means = {
+        row.l_returnflag: (row.sq / row.n / 100.0, row.sp / row.n / 100.0, row.n)
+        for row in sums.itertuples()
+    }
+    means_ref = ray.put(means)
+
+    class CenteredPartials:
+        def __init__(self, ref):
+            means = ray.get(ref)
+            self.mx = {k: v[0] for k, v in means.items()}
+            self.my = {k: v[1] for k, v in means.items()}
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            dx = b["l_quantity"].to_numpy() - b["l_returnflag"].map(self.mx).to_numpy()
+            dy = b["l_extendedprice"].to_numpy() - b["l_returnflag"].map(self.my).to_numpy()
+            df = pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                               "sxx": dx * dx, "syy": dy * dy, "sxy": dx * dy})
+            return df.groupby("l_returnflag", as_index=False).sum()
+
+    partials = ds.map_batches(CenteredPartials, fn_constructor_args=(means_ref,),
+                              batch_format="pandas", concurrency=2)
+    agg = partials.groupby("l_returnflag").aggregate(
+        Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+        Sum("sxy", alias_name="sxy"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sxx = t["sxx"].combine_chunks().to_numpy()
+        syy = t["syy"].combine_chunks().to_numpy()
+        sxy = t["sxy"].combine_chunks().to_numpy()
+        flags = t["l_returnflag"].combine_chunks().to_pylist()
+        ns = np.array([means[f][2] for f in flags], dtype=np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(ns),
+            "corr_qty_price": pa.array(sxy / np.sqrt(sxx * syy)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_LINEITEM_CORR_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       corr(l_quantity, l_extendedprice) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---- INTERSECT ---------------------------------------------------------------
+
+def q_nations_intersect(sf_dir: str) -> rd.Dataset:
+    """Nations with BOTH a high-balance customer AND a high-balance supplier
+    — INTERSECT as tag-union-groupby: each side reduces to its distinct keys
+    (map-side combining), unions with a side bitmask, and one groupby keeps
+    keys whose mask ORs to 3.  One small shuffle over distinct keys only."""
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_nationkey", "c_acctbal"])
+    sup = rd.read_parquet(_pq(sf_dir, "supplier"),
+                          columns=["s_nationkey", "s_acctbal"])
+
+    def side(key: str, bal: str, mask: int, thr: float):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t[bal], pa.scalar(thr)))
+            return pa.table({
+                "nationkey": pc.cast(t[key], pa.int32()),
+                "mask": pa.array(np.full(t.num_rows, mask, dtype=np.int64)),
+            })
+        return f
+
+    tagged = cust.map_batches(side("c_nationkey", "c_acctbal", 1, 9000.0),
+                              batch_format="pyarrow") \
+                 .union(sup.map_batches(side("s_nationkey", "s_acctbal", 2, 5000.0),
+                                        batch_format="pyarrow"))
+    # Max is a valid OR-combiner here only because each side contributes one
+    # mask value; use two groupbys (distinct per side) then sum if sides
+    # could repeat a key with different masks — they can't after tagging.
+    both = tagged.groupby("nationkey").aggregate(
+        Max("mask", alias_name="hi"), Min("mask", alias_name="lo"))
+    both = both.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["hi"], pa.scalar(2, pa.int64())),
+                                   pc.equal(t["lo"], pa.scalar(1, pa.int64()))))
+                   .select(["nationkey"]),
+        batch_format="pyarrow")
+    return both
+
+
+Q_NATIONS_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+INTERSECT
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+"""
+
+
+# ---- per-group dense rank ------------------------------------------------------
+
+def q_parts_dense_rank(sf_dir: str) -> rd.Dataset:
+    """DENSE_RANK of retail price within brand — hash-partition by brand,
+    one vectorized pandas rank per group (groups are per-brand small; the
+    shuffle is the same single exchange SQL's PARTITION BY implies)."""
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["rnk"] = g["p_retailprice"].rank(method="dense", ascending=False) \
+                                     .astype("int64")
+        return g
+
+    return ds.groupby("p_brand").map_groups(rank, batch_format="pandas")
+
+
+Q_PARTS_DENSE_RANK_SQL = """
+SELECT p_partkey, p_brand, p_retailprice,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+FROM part
+"""

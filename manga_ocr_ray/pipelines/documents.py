@@ -547,3 +547,166 @@ gate AS (
     AND 1.0 - len(list_distinct(gs)) * 1.0 / greatest(len(gs), 1) <= 0.2)
 SELECT doc_id, text FROM gate WHERE ({lang_id_sql('text')}) = 'en'
 """
+
+
+# ---- TF-IDF top terms (round 3) ---------------------------------------------
+
+def q_doc_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Top-5 terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, sklearn's smooth-idf formula).
+
+    Distributed plan: the vectorized token exploder → one combining
+    groupby(doc_id, token) for TF → df derived from THAT table (already
+    one row per (doc, token)) with a second combining groupby(token) →
+    hash join tf ⋈ df on token → per-doc top-5 via groupby(doc_id)
+    .map_groups (groups are per-doc term lists, small by construction).
+    N (corpus doc count) is the only driver-side scalar."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .relational import _join_partitions
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    toks = q_doc_tokens(sf_dir).select_columns(["doc_id", "token"])
+    tf = toks.groupby(["doc_id", "token"]).aggregate(Count(alias_name="tf")) \
+             .materialize()  # feeds both the df agg and the join
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = tf.join(df, join_type="inner", on=("token",),
+                     num_partitions=_join_partitions())
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_ = t["tf"].combine_chunks().to_numpy().astype(np.float64)
+        df_ = t["df"].combine_chunks().to_numpy().astype(np.float64)
+        s = tf_ * (np.log((n_docs + 1.0) / (df_ + 1.0)) + 1.0)
+        return pa.table({"doc_id": t["doc_id"], "token": t["token"],
+                         "tf": pc.cast(t["tf"], pa.int64()),
+                         "score": pa.array(s)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "token"], ascending=[False, True]).head(5)
+        g = g.copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("doc_id").map_groups(top5, batch_format="pandas")
+
+
+def q_doc_tfidf_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                                     tf.token) AS rnk
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score, rnk
+FROM scored WHERE rnk <= 5
+"""
+
+
+# ---- deterministic stratified sampling (round 3) -----------------------------
+
+STRATIFIED_RATES = {"en": 0.5, "zh": 0.25}
+STRATIFIED_DEFAULT_RATE = 0.1
+_STRAT_SALT = ":strat1"
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    return format(int(rate * 2**64), "016x")
+
+
+def q_doc_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-language downsampling: keep a doc iff the first 64
+    bits of ``md5(doc_id || salt)`` fall under its stratum's rate — the
+    standard hash-gate sampler (reproducible at any cluster size / block
+    layout, no RNG state to coordinate, mirrors to SQL as a lowercase-hex
+    string compare).  md5 here is a sampling gate, not a security boundary."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        langs = t["lang"].combine_chunks().to_pylist()
+        thr = np.fromiter(
+            (int(STRATIFIED_RATES.get(l, STRATIFIED_DEFAULT_RATE) * 2**64)
+             for l in langs), dtype=np.uint64, count=len(langs))
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(f"{i}{_STRAT_SALT}".encode()).digest()[:8],
+                            "big") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        return t.filter(pa.array(hs < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_doc_stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{_rate_threshold_hex(rate)}'"
+        for lang, rate in STRATIFIED_RATES.items())
+    default = _rate_threshold_hex(STRATIFIED_DEFAULT_RATE)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || '{_STRAT_SALT}'), 1, 16)
+      < (CASE lang {cases} ELSE '{default}' END)
+"""
+
+
+# ---- token-budget sequence packing (round 3) ----------------------------------
+
+PACK_TOKEN_BUDGET = 512
+
+
+def q_doc_pack_tokens(sf_dir: str) -> rd.Dataset:
+    """Assign each document to a fixed-token-budget training pack by its
+    START OFFSET in the doc_id-ordered token stream:
+    ``pack_id = (prefix_tokens_before_doc) // budget``.
+
+    This is the offset-division packing rule (a doc may straddle a pack
+    boundary — the trainer's concat-then-chunk view), chosen over greedy
+    reset packing because it is a pure prefix-sum: sort(doc_id) →
+    per-block token totals (one int each) → driver prefix sum → per-block
+    vectorized cumsum + base.  Rows never pass through the driver; the
+    same global-enumeration machinery as ``global_rank``/``global_ntile``."""
+    import ray as _ray
+
+    ds = q_doc_token_count(sf_dir)  # (doc_id, n_tokens) — oracle-mirrored kernel
+    srt = ds.sort(["doc_id"]).materialize()
+    refs = srt.get_internal_block_refs()
+
+    @_ray.remote
+    def _tok_sum(block) -> int:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        return int(pc.sum(t["n_tokens"]).as_py() or 0)
+
+    @_ray.remote
+    def _assign(base: int, block) -> pa.Table:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        n = t["n_tokens"].combine_chunks().to_numpy().astype(np.int64)
+        start = base + np.cumsum(n) - n
+        return t.append_column("pack_id", pa.array(start // PACK_TOKEN_BUDGET))
+
+    sums = _ray.get([_tok_sum.remote(r) for r in refs])
+    bases = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    return rd.from_arrow_refs(
+        [_assign.remote(int(b), r) for b, r in zip(bases, refs)])
+
+
+def q_doc_pack_tokens_sql() -> str:
+    return f"""
+WITH tc AS (SELECT doc_id,
+                   len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+            FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // {PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id
+FROM tc
+"""

@@ -711,7 +711,7 @@ def cluster_reps_ds(
     *,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_rounds: int = 40,
 ) -> rd.Dataset:
     """Distributed connected components over a pair Dataset → ``(node, label)``
@@ -741,6 +741,13 @@ def cluster_reps_ds(
     (:func:`cluster_reps`) in tests/test_dedup.py.
     """
     import pyarrow.compute as pc
+
+    if num_partitions is None:
+        # The hash-shuffle JoinOperator spins up one aggregator actor per
+        # partition; sizing past the CPU budget wedges small clusters (the
+        # q3 lesson), and each CC round contains a join — keep it ≤ CPU/2.
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2, min(16, cpus // 2))
 
     def sym(t: pa.Table) -> pa.Table:
         a = pc.cast(t[id_a].combine_chunks(), pa.int64())
@@ -785,6 +792,11 @@ def cluster_reps_ds(
             msgs.union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            # materialize so each executed graph carries ONE JoinOperator:
+            # two concurrent hash-shuffle joins in a fused graph oversubscribe
+            # their aggregator actors and wedge on small CPU budgets (the
+            # label table is pair-touched-nodes-sized — cheap to pin)
+            .materialize()
         )
         # 2. pointer jump: l(v) <- l(l(v))
         lut = stepped.rename_columns({"node": "label_key", "label": "label_parent"})
@@ -813,7 +825,7 @@ def near_dup_cluster_assign_ds(
     pairs: rd.Dataset,
     *,
     id_col: str = "doc_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Fully distributed cluster-rep assignment: connected components over the
     verified pair Dataset (:func:`cluster_reps_ds`), then a LEFT OUTER hash
@@ -823,6 +835,9 @@ def near_dup_cluster_assign_ds(
     pair set is driver-small, wrong choice at 10^12 rows)."""
     import pyarrow.compute as pc
 
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2, min(16, cpus // 2))
     labels = cluster_reps_ds(pairs, num_partitions=num_partitions)
     if labels.count() == 0:  # no pairs: everyone is their own rep (and the
         # Arrow hash join rejects a zero-block right side)

@@ -1,0 +1,80 @@
+"""Unit pins for the round-3 analytic operators (value-hash equality vs the
+DuckDB oracles is checked by scripts/check_oracle.py and the driver gate;
+these pin the distributed machinery's invariants)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ntile_sql_rule(n: int, k: int) -> np.ndarray:
+    """SQL NTILE reference: first n%k tiles get ceil(n/k) rows."""
+    q, r = divmod(n, k)
+    sizes = [q + 1] * r + [q] * (k - r) if q else [1] * n
+    return np.repeat(np.arange(1, len(sizes) + 1), sizes)[:n]
+
+
+@pytest.mark.parametrize("n,k", [(10, 4), (15, 8), (3, 8), (16, 4), (1, 5)])
+def test_global_ntile_bucket_rule(ray_session, n, k):
+    import ray.data as rd
+
+    from manga_ocr_ray.pipelines.analytic import global_ntile
+
+    ds = rd.from_pandas(pd.DataFrame({"v": np.arange(n)[::-1], "id": np.arange(n)}))
+    out = global_ntile(ds, ["v", "id"], k).to_pandas().sort_values("v")
+    want = _ntile_sql_rule(n, k)
+    np.testing.assert_array_equal(out["tile"].to_numpy(), want)
+
+
+def test_pack_tokens_invariants(ray_session):
+    from manga_ocr_ray.pipelines.documents import (PACK_TOKEN_BUDGET,
+                                                   q_doc_pack_tokens)
+
+    out = q_doc_pack_tokens(SF_DIR).to_pandas().sort_values("doc_id")
+    # pack ids are the offset-division rule: non-decreasing in doc_id order,
+    # and each doc's start offset // budget equals its pack
+    start = out["n_tokens"].cumsum() - out["n_tokens"]
+    np.testing.assert_array_equal(out["pack_id"].to_numpy(),
+                                  (start // PACK_TOKEN_BUDGET).to_numpy())
+    assert (np.diff(out["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_lineitem_corr_matches_numpy(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_lineitem_corr
+
+    got = q_lineitem_corr(SF_DIR).to_pandas().set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    for flag, g in li.groupby("l_returnflag"):
+        want = np.corrcoef(g["l_quantity"], g["l_extendedprice"])[0, 1]
+        assert got.loc[flag, "corr_qty_price"] == pytest.approx(want, abs=1e-9)
+        assert got.loc[flag, "n"] == len(g)
+
+
+def test_rollup_levels_consistent(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_rollup
+
+    out = q_events_rollup(SF_DIR).to_pandas()
+    fine = out[out["day"].notna()]
+    per_type = out[out["day"].isna() & out["event_type"].notna()]
+    grand = out[out["event_type"].isna()]
+    assert len(grand) == 1
+    assert grand["n"].iloc[0] == fine["n"].sum()
+    merged = fine.groupby("event_type")["n"].sum().rename("fine_n").reset_index() \
+                 .merge(per_type[["event_type", "n"]], on="event_type")
+    assert (merged["fine_n"] == merged["n"]).all()
+
+
+def test_stratified_sample_deterministic_and_rate(ray_session):
+    from manga_ocr_ray.pipelines.documents import q_doc_stratified_sample
+
+    a = q_doc_stratified_sample(SF_DIR).to_pandas().sort_values("doc_id")
+    b = q_doc_stratified_sample(SF_DIR).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])
+    en_total = (docs["lang"] == "en").sum()
+    en_kept = (a["lang"] == "en").sum()
+    # binomial(n, 0.5): allow 4 sigma
+    assert abs(en_kept - 0.5 * en_total) < 4 * np.sqrt(en_total * 0.25) + 1
