@@ -710,3 +710,49 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
              - n_tokens) // {PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id
 FROM tc
 """
+
+
+# ---- benchmark decontamination (round 3) --------------------------------------
+
+DECON_BENCH_MOD = 97  # docs with doc_id % 97 == 0 stand in for the eval set
+
+
+def q_doc_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Flag training docs that share a word 3-gram with the benchmark/eval
+    set (test-set-leakage guard).  The benchmark here is the deterministic
+    doc_id % 97 == 0 slice of the corpus; its distinct string shingles
+    broadcast via ``ray.put`` and the corpus streams through one actor-pool
+    stage — no shuffle, no corpus materialization.  Oracle: the same string
+    shingles in DuckDB (list_has_any vs the aggregated benchmark grams)."""
+    from ..stages.dedup import decontaminate
+
+    def is_bench(t: pa.Table, keep_bench: bool) -> pa.Table:
+        # pyarrow.compute has no integer mod kernel — one numpy pass
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        m = (ids % DECON_BENCH_MOD) == 0
+        return t.filter(pa.array(m if keep_bench else ~m))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(lambda t: is_bench(t, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda t: is_bench(t, False), batch_format="pyarrow")
+    return decontaminate(corpus, bench)
+
+
+def q_doc_decontaminate_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '{SHINGLE_TOKEN_PATTERN}') ws
+              FROM documents),
+grams AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                 END AS gs
+          FROM toks),
+bench AS (SELECT list(DISTINCT g) AS bgs
+          FROM (SELECT unnest(gs) AS g FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0))
+SELECT g.doc_id,
+       CAST(CASE WHEN list_has_any(g.gs, bench.bgs) THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM grams g CROSS JOIN bench
+WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+"""

@@ -857,3 +857,107 @@ def near_dup_cluster_assign_ds(
         return t.set_column(i, "cluster_rep", rep)
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# ---- benchmark decontamination ------------------------------------------------
+
+def _batch_shingle_strings(texts: pa.Array | pa.ChunkedArray,
+                           ngram: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(shingle STRINGS, parent doc index) for a whole batch — the exact
+    string shingles the SQL oracles define (``_word_ngram_hashes`` semantics:
+    lowercased SHINGLE_TOKEN_PATTERN tokens, space-joined n-grams, docs with
+    < n tokens contribute one all-token shingle; zero-token docs contribute
+    the empty-string shingle, mirroring SQL's array_to_string([], ' ')).
+    Tokenization is the Arrow sentinel-wrap kernel; the n-gram window join is
+    one elementwise object-array concat pass (no per-doc Python loop on the
+    common path)."""
+    tokens, parent = _batch_token_strings(texts)
+    n = len(texts)
+    tok = np.asarray(tokens.to_pandas(), dtype=object)
+    S = tok.size
+
+    shingles: list[np.ndarray] = []
+    parents: list[np.ndarray] = []
+    if S >= ngram:
+        m = S - ngram + 1
+        valid = parent[:m] == parent[ngram - 1:]
+        acc = tok[:m].copy()
+        for k in range(1, ngram):
+            acc = acc + " "
+            acc = acc + tok[k:m + k]
+        shingles.append(acc[valid])
+        parents.append(parent[:m][valid])
+    counts = np.bincount(parent, minlength=n) if S else np.zeros(n, dtype=np.int64)
+    short = np.flatnonzero((counts > 0) & (counts < ngram))
+    if short.size:
+        starts = np.searchsorted(parent, short)
+        for d, s in zip(short, starts):
+            shingles.append(np.array([" ".join(tok[s:s + counts[d]])], dtype=object))
+            parents.append(np.array([d], dtype=parent.dtype))
+    empty_docs = np.flatnonzero(counts == 0)
+    if empty_docs.size:
+        shingles.append(np.full(empty_docs.size, "", dtype=object))
+        parents.append(empty_docs.astype(parent.dtype if S else np.int64))
+    sh = (np.concatenate(shingles) if shingles
+          else np.zeros(0, dtype=object))
+    par = np.concatenate(parents) if parents else np.zeros(0, dtype=np.int64)
+    order = np.argsort(par, kind="stable")
+    return sh[order], par[order]
+
+
+def benchmark_shingle_set(bench: rd.Dataset, *, text_col: str = "text",
+                          ngram: int = 3) -> np.ndarray:
+    """Distinct string shingles of the benchmark corpus as a SORTED numpy
+    unicode array (the broadcast side of decontamination).  Benchmark/eval
+    sets are small by construction (they are hand-curated test suites), so
+    collecting their distinct shingles to the driver is the right call even
+    at 100 TB corpus scale — the CORPUS never materializes."""
+    def sh(t: pa.Table) -> pa.Table:
+        s, _ = _batch_shingle_strings(t[text_col], ngram)
+        return pa.table({"shingle": pa.array(np.unique(s.astype(str)))})
+
+    parts = bench.map_batches(sh, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["shingle"].to_numpy(dtype=str))
+
+
+class DecontaminateStage:
+    """Actor-pool stage: the benchmark shingle set is fetched from the object
+    store ONCE per actor; each batch flags docs sharing any word n-gram with
+    the benchmark (np.searchsorted membership over the sorted set + per-doc
+    bincount — no Python row loop)."""
+
+    def __init__(self, bench_ref, id_col: str = "doc_id",
+                 text_col: str = "text", ngram: int = 3):
+        self.bench = ray.get(bench_ref)
+        self.id_col, self.text_col, self.ngram = id_col, text_col, ngram
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s, parent = _batch_shingle_strings(t[self.text_col], self.ngram)
+        contaminated = np.zeros(t.num_rows, dtype=np.int64)
+        if s.size and self.bench.size:
+            ss = s.astype(str)
+            idx = np.searchsorted(self.bench, ss)
+            idx[idx >= self.bench.size] = self.bench.size - 1
+            hit = self.bench[idx] == ss
+            if hit.any():
+                contaminated[:] = np.bincount(
+                    parent[hit], minlength=t.num_rows).astype(bool)
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "contaminated": pa.array(contaminated),
+        })
+
+
+def decontaminate(ds: rd.Dataset, bench: rd.Dataset, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ngram: int = 3, concurrency=(1, 4)) -> rd.Dataset:
+    """Benchmark decontamination: flag every corpus doc that shares a word
+    n-gram shingle with the benchmark/eval set (the standard guard against
+    test-set leakage into training data).  Benchmark shingles broadcast via
+    ``ray.put`` (read once per actor); the corpus streams through one
+    actor-pool map_batches — no shuffle, no corpus materialization."""
+    bench_set = benchmark_shingle_set(bench, text_col=text_col, ngram=ngram)
+    ref = ray.put(bench_set)
+    return ds.map_batches(
+        DecontaminateStage, fn_constructor_args=(ref, id_col, text_col, ngram),
+        batch_format="pyarrow", concurrency=concurrency)

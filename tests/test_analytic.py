@@ -78,3 +78,20 @@ def test_stratified_sample_deterministic_and_rate(ray_session):
     en_kept = (a["lang"] == "en").sum()
     # binomial(n, 0.5): allow 4 sigma
     assert abs(en_kept - 0.5 * en_total) < 4 * np.sqrt(en_total * 0.25) + 1
+
+
+def test_decontaminate_flags_planted_leak(ray_session):
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.dedup import decontaminate
+
+    bench = pd.DataFrame({"doc_id": [0], "text": ["the secret eval question here"]})
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["contains the secret eval question verbatim",   # leaked 3-gram
+                 "totally unrelated text about other things",
+                 ""],                                            # empty doc
+    })
+    out = decontaminate(rd.from_pandas(corpus), rd.from_pandas(bench)) \
+        .to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == [1, 0, 0]
