@@ -115,7 +115,7 @@ def q5_nation_volume(sf_dir: str) -> rd.Dataset:
             })
 
     matched = j.map_batches(SameNation, fn_constructor_args=(sup_ref, nat_name),
-                            batch_format="pyarrow", concurrency=2)
+                            batch_format="pyarrow", concurrency=(1, 8))
     agg = matched.groupby("n_name").aggregate(Sum("rev_e4", alias_name="rev_e4"))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -146,7 +146,7 @@ ORDER BY revenue DESC
 
 # ---- ROLLUP super-aggregates -------------------------------------------------
 
-def q_events_rollup(sf_dir: str) -> rd.Dataset:
+def q_events_rollup(sf_dir: str) -> pd.DataFrame:
     """``GROUP BY ROLLUP(event_type, day)`` counts — the finest level is one
     combining groupby over the full table; both super-aggregate levels
     re-aggregate THAT small result (types × days rows), so the raw table is
@@ -160,27 +160,18 @@ def q_events_rollup(sf_dir: str) -> rd.Dataset:
 
     fine = ds.map_batches(keys, batch_format="pyarrow") \
              .groupby(["event_type", "day"]).aggregate(Count(alias_name="n")) \
-             .materialize()  # consumed 3× (fine + both super-levels); tiny
-    per_type = fine.groupby("event_type").aggregate(Sum("n", alias_name="n"))
-    total = fine.sum("n")
-
-    def null_day(t: pa.Table) -> pa.Table:
-        return pa.table({"event_type": t["event_type"],
-                         "day": pa.nulls(t.num_rows, pa.string()),
-                         "n": pc.cast(t["n"], pa.int64())})
-
-    def as_i64(t: pa.Table) -> pa.Table:
-        return t.set_column(t.schema.get_field_index("n"), "n",
-                            pc.cast(t["n"], pa.int64()))
-
-    grand = rd.from_arrow(pa.table({
-        "event_type": pa.nulls(1, pa.string()),
-        "day": pa.nulls(1, pa.string()),
-        "n": pa.array([int(total)], pa.int64()),
-    }))
-    return fine.map_batches(as_i64, batch_format="pyarrow") \
-               .union(per_type.map_batches(null_day, batch_format="pyarrow")) \
-               .union(grand)
+             .to_pandas()  # types × days rows — dimension-bounded, so the
+    # super-aggregate levels are a driver-side finish on the tiny result
+    # (re-shuffling it through two more groupbys costs seconds of pure
+    # scheduler overhead for no distribution win)
+    fine["n"] = fine["n"].astype("int64")
+    per_type = fine.groupby("event_type", as_index=False)["n"].sum()
+    per_type["day"] = None
+    grand = pd.DataFrame({"event_type": [None], "day": [None],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, per_type[["event_type", "day", "n"]], grand],
+                    ignore_index=True)
+    return out[["event_type", "day", "n"]]
 
 
 Q_EVENTS_ROLLUP_SQL = """
@@ -293,7 +284,7 @@ def q_lineitem_corr(sf_dir: str) -> rd.Dataset:
             return df.groupby("l_returnflag", as_index=False).sum()
 
     partials = ds.map_batches(CenteredPartials, fn_constructor_args=(means_ref,),
-                              batch_format="pandas", concurrency=2)
+                              batch_format="pandas", concurrency=(1, 8))
     agg = partials.groupby("l_returnflag").aggregate(
         Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
         Sum("sxy", alias_name="sxy"))

@@ -563,25 +563,34 @@ def q_doc_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     N (corpus doc count) is the only driver-side scalar."""
     from ray.data.aggregate import Sum as _Sum
 
-    from .relational import _join_partitions
+    import ray as _ray
 
     n_docs = _docs(sf_dir, ["doc_id"]).count()
     toks = q_doc_tokens(sf_dir).select_columns(["doc_id", "token"])
     tf = toks.groupby(["doc_id", "token"]).aggregate(Count(alias_name="tf")) \
-             .materialize()  # feeds both the df agg and the join
-    df = tf.groupby("token").aggregate(Count(alias_name="df"))
-    joined = tf.join(df, join_type="inner", on=("token",),
-                     num_partitions=_join_partitions())
+             .materialize()  # feeds both the df agg and the idf lookup
+    # document frequency = one combining groupby over the (doc, token) table;
+    # the RESULT is the vocabulary (sublinear in corpus size), so it joins
+    # back as a broadcast idf lookup instead of a second all-to-all hash join
+    # (which also trips Arrow's empty-right-partition schema loss on sparse
+    # token partitions).
+    dfp = tf.groupby("token").aggregate(Count(alias_name="df")).to_pandas()
+    idf = dfp.set_index("token")["df"].astype(np.float64)
+    idf = np.log((n_docs + 1.0) / (idf + 1.0)) + 1.0
+    idf_ref = _ray.put(idf)
 
-    def score(t: pa.Table) -> pa.Table:
-        tf_ = t["tf"].combine_chunks().to_numpy().astype(np.float64)
-        df_ = t["df"].combine_chunks().to_numpy().astype(np.float64)
-        s = tf_ * (np.log((n_docs + 1.0) / (df_ + 1.0)) + 1.0)
-        return pa.table({"doc_id": t["doc_id"], "token": t["token"],
-                         "tf": pc.cast(t["tf"], pa.int64()),
-                         "score": pa.array(s)})
+    class Score:
+        def __init__(self, ref):
+            self.idf = _ray.get(ref)
 
-    scored = joined.map_batches(score, batch_format="pyarrow")
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            s = b["tf"].to_numpy(dtype=np.float64) \
+                * b["token"].map(self.idf).to_numpy(dtype=np.float64)
+            return pd.DataFrame({"doc_id": b["doc_id"], "token": b["token"],
+                                 "tf": b["tf"].astype("int64"), "score": s})
+
+    scored = tf.map_batches(Score, fn_constructor_args=(idf_ref,),
+                            batch_format="pandas", concurrency=(1, 8))
 
     def top5(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "token"], ascending=[False, True]).head(5)

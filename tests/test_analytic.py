@@ -56,7 +56,7 @@ def test_lineitem_corr_matches_numpy(ray_session):
 def test_rollup_levels_consistent(ray_session):
     from manga_ocr_ray.pipelines.analytic import q_events_rollup
 
-    out = q_events_rollup(SF_DIR).to_pandas()
+    out = q_events_rollup(SF_DIR)  # returns pandas (driver-side finish)
     fine = out[out["day"].notna()]
     per_type = out[out["day"].isna() & out["event_type"].notna()]
     grand = out[out["event_type"].isna()]
