@@ -650,7 +650,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": R.q_filter_project,
         "region_customer_count": R.q_region_customer_count,
         "top_customers": R.q_top_customers,
-        "top_orders": R.q_top_orders,
         "orders_price_rank": R.q_orders_price_rank,
         "union_nations": R.q_union_nations,
         "events_hourly": R.q_events_hourly,
@@ -667,12 +666,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": R.q_orders_price_quantiles,
         # extraction / normalization kernels ([core] M1, S3, M6/M7 analogs)
         "doc_normalize": D.q_doc_normalize,
-        "doc_strip_html": D.q_doc_strip_html,
         "doc_flatten_pdf": D.q_doc_flatten_pdf,
         "doc_quality": D.q_doc_quality,
         "doc_exact_dedup": D.q_doc_exact_dedup,
         "doc_fingerprint": D.q_doc_fingerprint,
-        "doc_token_count": D.q_doc_token_count,
         "registry_clean": _q_registry_clean,
         "doc_repetition": D.q_doc_repetition,
         "training_mix": D.q_training_mix,
@@ -693,6 +690,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": A.q_events_rollup,
         "doc_tfidf_top_terms": D.q_doc_tfidf_top_terms,
         "doc_pack_tokens": D.q_doc_pack_tokens,
+        # newest round-3 families — in-window, displacing three twins whose
+        # families keep an in-window representative (top_orders ↔
+        # top_customers sort+limit, doc_strip_html/doc_token_count ↔
+        # registry_clean, which runs the same strip+normalize+count kernels;
+        # all three were driver-green in r02 and stay locally oracle-checked)
+        "q17_avg_yearly": A.q17_avg_yearly,
+        "lineitem_bloom_semi": A.q_lineitem_bloom_semi,
+        "doc_inverted_index": D.q_doc_inverted_index,
         # training-data operators
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "events_heavy_users": _q_events_heavy_users,
@@ -706,9 +711,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ↔ doc_tokens/doc_normalize, suppliers_with_bigparts ↔
         # customers_no_orders, embedding_near_dup_lsh ↔ embedding_topk) ----
         "doc_tokens": D.q_doc_tokens,
+        "top_orders": R.q_top_orders,
+        "doc_strip_html": D.q_doc_strip_html,
+        "doc_token_count": D.q_doc_token_count,
         "events_session_ids": R.q_events_session_ids,
         "events_moving_avg": R.q_events_moving_avg,
         "doc_charset_coverage": D.q_doc_charset_coverage,
+        "events_first_last": A.q_events_first_last,
+        "doc_rarity": D.q_doc_rarity,
         # round-3 analytic additions with local oracles (outside the
         # 50-entry driver window; value-checked by scripts/check_oracle.py)
         "orders_ntile": A.q_orders_ntile,
@@ -750,6 +760,11 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr": A.Q_LINEITEM_CORR_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,
+        "q17_avg_yearly": A.Q17_AVG_YEARLY_SQL,
+        "lineitem_bloom_semi": A.Q_LINEITEM_BLOOM_SEMI_SQL,
+        "events_first_last": A.Q_EVENTS_FIRST_LAST_SQL,
+        "doc_inverted_index": D.Q_DOC_INVERTED_INDEX_SQL,
+        "doc_rarity": D.Q_DOC_RARITY_SQL,
         "doc_tfidf_top_terms": D.q_doc_tfidf_sql(),
         "doc_stratified_sample": D.q_doc_stratified_sample_sql(),
         "doc_pack_tokens": D.q_doc_pack_tokens_sql(),

@@ -379,3 +379,174 @@ SELECT p_partkey, p_brand, p_retailprice,
        dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
 FROM part
 """
+
+
+# ---- TPC-H Q17 shape: correlated aggregate subquery --------------------------
+
+def q17_avg_yearly(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
+    """Average yearly revenue lost if small-quantity orders (below 20% of the
+    part's average quantity) went unfilled — TPC-H Q17's correlated-aggregate
+    shape: a per-group aggregate computed over the fact table is applied back
+    as a per-row predicate on the SAME table.
+
+    Ray plan (no correlated re-scan, one pass + one tiny groupby):
+    - the brand's partkeys are a selective dimension slice (1/|brands| of
+      part) → broadcast key set, map-side prune of lineitem (at 100 TB,
+      swap the exact set for ``stages.bloomjoin`` when the slice outgrows
+      the broadcast budget);
+    - the pruned projection (partkey + 2 int64-cents cols, ~24 B/row) is
+      materialized once and consumed twice: per-part (sum_qty, n) via a
+      combining groupby, then the threshold filter;
+    - the per-part stats table is bounded by the brand's part cardinality
+      (sublinear) → broadcast back as numpy maps; the predicate
+      ``qty < 0.2·avg`` is evaluated in exact integers as
+      ``5·n·qty_cents < sum_qty_cents`` — no float division anywhere until
+      the single final /700.0.
+    """
+    part = pd.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    keys = part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy(np.int64)
+    keys_ref = ray.put(keys)
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    class Prune:
+        def __init__(self, ref):
+            self.keys = pa.array(ray.get(ref), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                                  value_set=self.keys))
+            return pa.table({"l_partkey": t["l_partkey"],
+                             "qty_c": _cents(t["l_quantity"]),
+                             "price_c": _cents(t["l_extendedprice"])})
+
+    pruned = li.map_batches(Prune, fn_constructor_args=(keys_ref,),
+                            batch_format="pyarrow", concurrency=(1, 8)) \
+               .materialize()
+    stats = pruned.groupby("l_partkey").aggregate(
+        Sum("qty_c", alias_name="sumq"), Count(alias_name="n")).to_pandas()
+    sumq = stats.set_index("l_partkey")["sumq"].astype(np.int64)
+    npart = stats.set_index("l_partkey")["n"].astype(np.int64)
+    sumq_ref, n_ref = ray.put(sumq), ray.put(npart)
+
+    class SmallQty:
+        def __init__(self, sq, nn):
+            self.sumq, self.n = ray.get(sq), ray.get(nn)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            k = b["l_partkey"]
+            keep = 5 * b["qty_c"].to_numpy() * k.map(self.n).to_numpy() \
+                   < k.map(self.sumq).to_numpy()
+            return pd.DataFrame({"price_c": b.loc[keep, "price_c"]})
+
+    total = pruned.map_batches(SmallQty, fn_constructor_args=(sumq_ref, n_ref),
+                               batch_format="pandas", concurrency=(1, 8)) \
+                  .sum("price_c")
+    return pd.DataFrame({"avg_yearly": [float(total or 0) / 700.0]})
+
+
+Q17_AVG_YEARLY_SQL = """
+WITH pruned AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'),
+st AS (SELECT l_partkey, sum(qty_c) AS sumq, count(*) AS n
+       FROM pruned GROUP BY l_partkey)
+SELECT CAST(sum(price_c) AS DOUBLE) / 700.0 AS avg_yearly
+FROM pruned JOIN st USING (l_partkey)
+WHERE 5 * qty_c * n < sumq
+"""
+
+
+# ---- bloom-filter pruned exact semi-join -------------------------------------
+
+def q_lineitem_bloom_semi(sf_dir: str) -> rd.Dataset:
+    """Revenue of line items belonging to URGENT orders via
+    ``stages.bloomjoin.bloom_semi_join``: the urgent-orderkey set is turned
+    into a distributed-built bloom filter (per-block partial bit arrays
+    OR-reduced, never the keys), lineitem is pruned MAP-SIDE (no shuffle on
+    ~80% of rows at this selectivity), and the exact hash join runs only on
+    the survivors — results are exact, the all-to-all exchange shrinks to
+    the semi-join's true output plus the filter's ~0.03% false positives."""
+    from ..stages.bloomjoin import bloom_semi_join
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow")
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_returnflag"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_returnflag": t["l_returnflag"],
+                         "price_c": _cents(t["l_extendedprice"])})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    semi = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey",
+                           num_partitions=_join_partitions())
+    agg = semi.groupby("l_returnflag").aggregate(
+        Sum("price_c", alias_name="sum_c"), Count(alias_name="n_items"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_c"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "urgent_revenue": s / 100.0,
+                         "n_items": pc.cast(t["n_items"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_LINEITEM_BLOOM_SEMI_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS urgent_revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+# ---- first_value / last_value window -----------------------------------------
+
+def q_events_first_last(sf_dir: str) -> rd.Dataset:
+    """Per-user first and last event type by (ts, event_id) —
+    FIRST_VALUE/LAST_VALUE over an unbounded frame.  Same shard machinery as
+    sessionization: hash-shard by user, ONE vectorized pandas pass per shard
+    (sort + boundary take), never a per-user task."""
+    from .relational import _shard_by_int
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = g.drop_duplicates("user_id", keep="first")
+        last = g.drop_duplicates("user_id", keep="last")
+        return pd.DataFrame({
+            "user_id": first["user_id"].to_numpy(),
+            "first_type": first["event_type"].to_numpy(),
+            "last_type": last["event_type"].to_numpy(),
+            "n_events": g.groupby("user_id", sort=True).size().to_numpy(),
+        })
+
+    return _shard_by_int(ds, "user_id").groupby("shard") \
+        .map_groups(per_shard, batch_format="pandas")
+
+
+Q_EVENTS_FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       count(*)                OVER (PARTITION BY user_id) AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.h2z import DAKUTEN_PAIRS, H2Z_FROM, H2Z_TO
 from ..functions.html import strip_html_array, strip_html_sql
@@ -764,4 +764,110 @@ SELECT g.doc_id,
          AS contaminated
 FROM grams g CROSS JOIN bench
 WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+"""
+
+
+# ---- inverted index build (token → sorted posting list) ---------------------
+
+def q_doc_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Inverted-index construction — the core retrieval/decontamination data
+    structure: one row per vocabulary term with its document frequency and
+    the sorted posting list (comma-joined doc ids).
+
+    Plan: tokens explode (the vectorized Arrow explode of q_doc_tokens) →
+    distinct (token, doc) pairs via one combining groupby → hash-shard by
+    TOKEN (same amortization trick as sessionization: Ray's per-group task
+    overhead is paid per SHARD, and one pandas pass builds every posting
+    list in the shard).  Output is vocabulary-sized (sublinear in corpus);
+    at 100 TB a stop-word's posting list is the skew risk — the per-shard
+    pass is O(shard rows) regardless, and a production sink would cap or
+    block-compress hot terms (documented, not applied, so the oracle stays
+    exact)."""
+    from ..functions.hashing import hash64_array
+    from .relational import _default_shards
+
+    toks = q_doc_tokens(sf_dir).select_columns(["doc_id", "token"])
+    pairs = toks.groupby(["token", "doc_id"]).aggregate(Count(alias_name="_tf"))
+    S = np.uint64(_default_shards())
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = hash64_array(t["token"]) % S
+        return pa.table({"token": t["token"], "doc_id": t["doc_id"],
+                         "shard": pa.array(h.astype(np.int32))})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        ids = g["doc_id"].astype(str).astype(object)
+        out = g.assign(_s=ids).groupby("token", sort=True).agg(
+            df=("doc_id", "size"), postings=("_s", ",".join))
+        out["df"] = out["df"].astype("int64")
+        return out.reset_index()
+
+    return pairs.map_batches(add_shard, batch_format="pyarrow") \
+                .groupby("shard").map_groups(build, batch_format="pandas") \
+                .select_columns(["token", "df", "postings"])
+
+
+Q_DOC_INVERTED_INDEX_SQL = f"""
+WITH toks AS (SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+              FROM documents)
+SELECT token, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY token
+"""
+
+
+# ---- token-rarity quality score ---------------------------------------------
+
+def q_doc_rarity(sf_dir: str) -> rd.Dataset:
+    """Per-document token-rarity score: the tf-weighted mean document
+    frequency of a doc's tokens — a corpus-level quality signal (low mean df
+    = the doc is dominated by rare/garbled terms; high = boilerplate).  The
+    per-group aggregate (df per token) is vocabulary-sized → broadcast back
+    onto the token stream as a numpy-backed lookup (same pattern as
+    q_doc_tfidf_top_terms), then one combining groupby(doc_id) over integer
+    partials — the division happens once per doc at the end, so the float
+    matches the oracle exactly."""
+    import ray as _ray
+
+    toks = q_doc_tokens(sf_dir).select_columns(["doc_id", "token"])
+    dfp = toks.groupby(["token", "doc_id"]).aggregate(Count(alias_name="_tf")) \
+              .groupby("token").aggregate(Count(alias_name="df")).to_pandas()
+    df_ref = _ray.put(dfp.set_index("token")["df"].astype(np.int64))
+
+    class AddDf:
+        def __init__(self, ref):
+            self.df = _ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "df": b["token"].map(self.df).to_numpy(dtype=np.int64),
+            })
+
+    agg = toks.map_batches(AddDf, fn_constructor_args=(df_ref,),
+                           batch_format="pandas", concurrency=(1, 8)) \
+              .groupby("doc_id").aggregate(Sum("df", alias_name="sum_df"),
+                                           Count(alias_name="n_tokens"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_df"].combine_chunks().to_numpy().astype(np.float64)
+        n = t["n_tokens"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                         "sum_df": pc.cast(t["sum_df"], pa.int64()),
+                         "mean_df": s / n})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_DOC_RARITY_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+              FROM documents),
+dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token)
+SELECT t.doc_id, count(*) AS n_tokens, CAST(sum(d.df) AS BIGINT) AS sum_df,
+       CAST(sum(d.df) AS DOUBLE) / count(*) AS mean_df
+FROM toks t JOIN dfs d USING (token)
+GROUP BY t.doc_id
 """

@@ -95,3 +95,62 @@ def test_decontaminate_flags_planted_leak(ray_session):
     out = decontaminate(rd.from_pandas(corpus), rd.from_pandas(bench)) \
         .to_pandas().sort_values("doc_id")
     assert out["contaminated"].tolist() == [1, 0, 0]
+
+
+# ---- bloom-filter semi-join machinery (stages/bloomjoin.py) ----------------
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from manga_ocr_ray.stages.bloomjoin import (_probe_positions, _set_bits,
+                                                _test_bits, bloom_params)
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(10_000_000, size=5000, replace=False).astype(np.int64)
+    m, k = bloom_params(len(keys))
+    words = np.zeros(m // 64, dtype=np.uint64)
+    _set_bits(words, _probe_positions(keys, m, k))
+    # every inserted key must test positive
+    assert _test_bits(words, _probe_positions(keys, m, k)).all()
+    # false-positive rate on disjoint probes stays near the design point
+    probes = np.setdiff1d(rng.choice(10_000_000, size=20000, replace=False)
+                          .astype(np.int64), keys)
+    fp = _test_bits(words, _probe_positions(probes, m, k)).mean()
+    assert fp < 0.02, fp   # 12 bits/key designs for ~0.03%
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.bloomjoin import bloom_semi_join
+
+    rng = np.random.default_rng(3)
+    fact = pd.DataFrame({"fk": rng.integers(0, 500, size=4000), "v": np.arange(4000)})
+    keyset = pd.DataFrame({"k": np.arange(0, 500, 7)})
+    out = bloom_semi_join(rd.from_pandas(fact), "fk",
+                          rd.from_pandas(keyset), "k",
+                          num_partitions=4).to_pandas()
+    want = fact[fact["fk"].isin(set(keyset["k"]))]
+    assert sorted(out["v"]) == sorted(want["v"])   # exact despite bloom FPs
+
+
+def test_q17_matches_naive(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q17_avg_yearly
+
+    got = q17_avg_yearly(SF_DIR)["avg_yearly"].iloc[0]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    sub = li.merge(part[part["p_brand"] == "Brand#23"][["p_partkey"]],
+                   left_on="l_partkey", right_on="p_partkey")
+    avg = sub.groupby("l_partkey")["l_quantity"].transform("mean")
+    want = sub.loc[sub["l_quantity"] < 0.2 * avg, "l_extendedprice"].sum() / 7.0
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_inverted_index_postings_sorted(ray_session):
+    from manga_ocr_ray.pipelines.documents import q_doc_inverted_index
+
+    out = q_doc_inverted_index(SF_DIR).to_pandas()
+    assert (out["df"] > 0).all()
+    for _, row in out.head(50).iterrows():
+        ids = [int(x) for x in row["postings"].split(",")]
+        assert ids == sorted(ids) and len(ids) == row["df"]
+        assert len(set(ids)) == len(ids)
