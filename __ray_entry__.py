@@ -719,6 +719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_charset_coverage": D.q_doc_charset_coverage,
         "events_first_last": A.q_events_first_last,
         "doc_rarity": D.q_doc_rarity,
+        "events_user_active_days": A.q_events_user_active_days,
+        "events_cohort_retention": A.q_events_cohort_retention,
+        "doc_token_freq_spectrum": D.q_doc_token_freq_spectrum,
         # round-3 analytic additions with local oracles (outside the
         # 50-entry driver window; value-checked by scripts/check_oracle.py)
         "orders_ntile": A.q_orders_ntile,
@@ -763,6 +766,9 @@ def oracle_sql() -> dict[str, str]:
         "q17_avg_yearly": A.Q17_AVG_YEARLY_SQL,
         "lineitem_bloom_semi": A.Q_LINEITEM_BLOOM_SEMI_SQL,
         "events_first_last": A.Q_EVENTS_FIRST_LAST_SQL,
+        "events_user_active_days": A.Q_EVENTS_USER_ACTIVE_DAYS_SQL,
+        "events_cohort_retention": A.Q_EVENTS_COHORT_RETENTION_SQL,
+        "doc_token_freq_spectrum": D.Q_DOC_TOKEN_FREQ_SPECTRUM_SQL,
         "doc_inverted_index": D.Q_DOC_INVERTED_INDEX_SQL,
         "doc_rarity": D.Q_DOC_RARITY_SQL,
         "doc_tfidf_top_terms": D.q_doc_tfidf_sql(),

@@ -550,3 +550,102 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+# ---- COUNT(DISTINCT) per group -------------------------------------------------
+
+def q_events_user_active_days(sf_dir: str) -> rd.Dataset:
+    """Per-user active-day count + total events — COUNT(DISTINCT expr) GROUP
+    BY key as two chained combining groupbys (distinct (user, day) pairs,
+    then count per user), hash-joined to the plain per-user count.  Both agg
+    results are key-cardinality-sized; the join reuses the same key, so the
+    exchange is one small shuffle, never the raw table twice."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.cast(day, pa.int32())})
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+    n_days = days.groupby(["user_id", "day"]).aggregate(Count(alias_name="_c")) \
+                 .groupby("user_id").aggregate(Count(alias_name="n_days"))
+    n_events = days.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    joined = n_days.join(n_events, join_type="inner", on=("user_id",),
+                         num_partitions=_join_partitions())
+
+    def as_i64(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "n_days": pc.cast(t["n_days"], pa.int64()),
+                         "n_events": pc.cast(t["n_events"], pa.int64())})
+
+    return joined.map_batches(as_i64, batch_format="pyarrow")
+
+
+Q_EVENTS_USER_ACTIVE_DAYS_SQL = """
+SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# ---- cohort retention ----------------------------------------------------------
+
+def q_events_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Classic cohort-retention matrix: users grouped by first-seen day,
+    distinct active users per (cohort_day, day_offset).
+
+    The first-seen table is ONE combining groupby (user cardinality —
+    sublinear) broadcast back onto the event stream (at 100 TB swap the
+    broadcast for a hash join on user_id, the same key the distinct stage
+    shuffles on anyway); then distinct (cohort, offset, user) → count, two
+    more combining groupbys."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                              pa.date32()), pa.int32())
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+    firsts = days.groupby("user_id").aggregate(Min("day", alias_name="cohort")) \
+                 .to_pandas()
+    cohort_ref = ray.put(firsts.set_index("user_id")["cohort"].astype(np.int32))
+
+    class Offset:
+        def __init__(self, ref):
+            self.cohort = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            c = b["user_id"].map(self.cohort).to_numpy(dtype=np.int32)
+            return pd.DataFrame({"cohort_di": c,
+                                 "day_offset": (b["day"].to_numpy(np.int32) - c)
+                                               .astype(np.int64),
+                                 "user_id": b["user_id"]})
+
+    dist = days.map_batches(Offset, fn_constructor_args=(cohort_ref,),
+                            batch_format="pandas", concurrency=(1, 8)) \
+               .groupby(["cohort_di", "day_offset", "user_id"]) \
+               .aggregate(Count(alias_name="_c")) \
+               .groupby(["cohort_di", "day_offset"]) \
+               .aggregate(Count(alias_name="n_users"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        di = t["cohort_di"].combine_chunks().to_numpy().astype("datetime64[D]")
+        return pa.table({"cohort_day": pa.array(di.astype(str)),
+                         "day_offset": t["day_offset"],
+                         "n_users": pc.cast(t["n_users"], pa.int64())})
+
+    return dist.map_batches(finish, batch_format="pyarrow")
+
+
+Q_EVENTS_COHORT_RETENTION_SQL = """
+WITH firsts AS (SELECT user_id, min(CAST(ts AS DATE)) AS f
+                FROM events GROUP BY user_id),
+d AS (SELECT DISTINCT f.f AS cohort, date_diff('day', f.f, CAST(e.ts AS DATE))
+                 AS day_offset, e.user_id
+      FROM events e JOIN firsts f USING (user_id))
+SELECT CAST(cohort AS VARCHAR) AS cohort_day, day_offset,
+       count(*) AS n_users
+FROM d GROUP BY cohort, day_offset
+"""

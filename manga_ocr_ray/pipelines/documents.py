@@ -871,3 +871,31 @@ SELECT t.doc_id, count(*) AS n_tokens, CAST(sum(d.df) AS BIGINT) AS sum_df,
 FROM toks t JOIN dfs d USING (token)
 GROUP BY t.doc_id
 """
+
+
+# ---- token frequency spectrum (frequency-of-frequencies / Zipf audit) --------
+
+def q_doc_token_freq_spectrum(sf_dir: str) -> rd.Dataset:
+    """Vocabulary frequency spectrum — how many distinct tokens occur exactly
+    k times (the Zipf/Good-Turing "frequency of frequencies" used to audit
+    corpus naturalness and tokenizer health).  Two chained combining
+    groupbys: per-token counts (vocabulary-sized), then counts-of-counts
+    (tiny); the raw token stream shuffles once."""
+    toks = q_doc_tokens(sf_dir).select_columns(["token"])
+    tf = toks.groupby("token").aggregate(Count(alias_name="freq"))
+    spec = tf.groupby("freq").aggregate(Count(alias_name="n_tokens"))
+
+    def as_i64(t: pa.Table) -> pa.Table:
+        return pa.table({"freq": pc.cast(t["freq"], pa.int64()),
+                         "n_tokens": pc.cast(t["n_tokens"], pa.int64())})
+
+    return spec.map_batches(as_i64, batch_format="pyarrow")
+
+
+Q_DOC_TOKEN_FREQ_SPECTRUM_SQL = f"""
+WITH tf AS (SELECT token, count(*) AS c
+            FROM (SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+                  FROM documents)
+            GROUP BY token)
+SELECT c AS freq, count(*) AS n_tokens FROM tf GROUP BY c
+"""
