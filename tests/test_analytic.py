@@ -154,3 +154,45 @@ def test_inverted_index_postings_sorted(ray_session):
         ids = [int(x) for x in row["postings"].split(",")]
         assert ids == sorted(ids) and len(ids) == row["df"]
         assert len(set(ids)) == len(ids)
+
+
+def test_active_days_matches_pandas(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_user_active_days
+
+    got = q_events_user_active_days(SF_DIR).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = ev["ts"].dt.normalize()
+    want = ev.groupby("user_id").agg(n_days=("day", "nunique"),
+                                     n_events=("ts", "size")).reset_index()
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_days": "int64", "n_events": "int64"}))
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_cohort_retention
+
+    got = q_events_cohort_retention(SF_DIR).to_pandas() \
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    first = ev.groupby("user_id")["day"].min().rename("cohort")
+    ev = ev.join(first, on="user_id")
+    ev["day_offset"] = (ev["day"] - ev["cohort"]).dt.days
+    want = ev.drop_duplicates(["cohort", "day_offset", "user_id"]) \
+             .groupby(["cohort", "day_offset"]).size().rename("n_users").reset_index()
+    want["cohort_day"] = want["cohort"].dt.strftime("%Y-%m-%d")
+    want = want[["cohort_day", "day_offset", "n_users"]] \
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({"day_offset": "int64",
+                                                    "n_users": "int64"}))
+
+
+def test_freq_spectrum_mass_conservation(ray_session):
+    from manga_ocr_ray.pipelines.documents import (q_doc_token_count,
+                                                   q_doc_token_freq_spectrum)
+
+    spec = q_doc_token_freq_spectrum(SF_DIR).to_pandas()
+    total_from_spec = (spec["freq"] * spec["n_tokens"]).sum()
+    total_tokens = q_doc_token_count(SF_DIR).to_pandas()["n_tokens"].sum()
+    assert total_from_spec == total_tokens   # sum_k k·S(k) == corpus tokens
