@@ -69,7 +69,7 @@ def bloom_from_dataset(keys: rd.Dataset, key_col: str, *,
     """Distributed bloom build: per-block partial bit arrays, OR-reduced on
     the driver (each partial is m/8 bytes — MBs, independent of key count).
     Returns (object ref of the uint64 word array, m_bits, k)."""
-    n = keys.count()
+    n = keys.count()  # callers pass a materialized key set (see bloom_semi_join)
     m_bits, k = bloom_params(n, bits_per_key)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -108,7 +108,14 @@ def bloom_semi_join(fact: rd.Dataset, fact_key: str, keys: rd.Dataset,
                     concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
     """Exact semi-join of ``fact`` to the key set: bloom prune map-side,
     then a hash join on the (much smaller) survivor set removes the false
-    positives.  Result columns = fact columns (+ key table's join col)."""
+    positives.  Result columns = fact columns (+ key table's join col).
+
+    ``keys`` is materialized once up front: it is consumed three times
+    (count for sizing, partial-bloom pass, exact join) and re-deriving a
+    filtered key pipeline per pass would re-scan its source each time.  The
+    key set is the SMALL side by contract (that's why a bloom of it fits),
+    so pinning it in the object store is bounded."""
+    keys = keys.materialize()
     ref, m_bits, k = bloom_from_dataset(keys, key_col, bits_per_key=bits_per_key)
     pruned = fact.map_batches(BloomPrune, fn_constructor_args=(ref, m_bits, k, fact_key),
                               batch_format="pyarrow", concurrency=concurrency)
