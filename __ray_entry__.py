@@ -409,6 +409,17 @@ def _q_events_approx_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_users": [approx_distinct(ds, "user_id")]})
 
 
+def _q_events_type_users_approx(sf_dir: str):
+    """Per-group HLL distinct (rows-only: sketch; accuracy pinned by
+    tests/test_metrics_sketch.py vs the exact per-group count)."""
+    import ray.data as rd
+    from manga_ocr_ray.stages.sketch import grouped_approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ds, "event_type", "user_id")
+
+
 def _q_orders_quantiles_approx(sf_dir: str) -> pd.DataFrame:
     """Histogram-sketch quantiles of order totalprice (rows-only: approx;
     accuracy pinned by tests/test_metrics_sketch.py; exact twin =
@@ -739,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "events_approx_users": _q_events_approx_users,
+        "events_type_users_approx": _q_events_type_users_approx,
         "orders_quantiles_approx": _q_orders_quantiles_approx,
         "orders_quantiles_approx_grouped": _q_orders_quantiles_approx_grouped,
         "embedding_ivf_topk": _q_embedding_ivf_topk,

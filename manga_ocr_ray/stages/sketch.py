@@ -292,3 +292,60 @@ def heavy_hitters(ds: rd.Dataset, column: str, k: int = 20,
     )
     return (merged.sort_values(["est_count", "item"], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def grouped_approx_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    p: int = 12,
+    num_shards: int | None = None,
+) -> rd.Dataset:
+    """Per-GROUP approximate distinct count — the scale-safe twin of exact
+    ``count(DISTINCT v) GROUP BY k`` (which shuffles every (k, v) pair; the
+    HLL form shuffles one 2^p-byte register row per (block, key)).
+
+    Same three-stage shape as grouped_approx_quantiles: map_batches emits a
+    register partial per (block, key); partials merge by elementwise MAX in
+    a shard-grouped pass; ±~1.04/sqrt(2^p) relative error per key.  Returns
+    (key, approx_distinct) rows; estimates are deterministic across runs and
+    block layouts (hash is the engine's seedless mix, max-merge commutes).
+    """
+    import ray as _r
+
+    if num_shards is None:
+        cpus = int(_r.cluster_resources().get("CPU", 4)) if _r.is_initialized() else 4
+        num_shards = max(8, cpus * 2)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        col = t[value_col].combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash64_array(col)
+        else:
+            h = mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        g = pd.DataFrame({"k": k, "h": h})
+        keys, regs = [], []
+        for kk, sub in g.groupby("k", sort=False):
+            keys.append(kk)
+            regs.append(hll_partial(sub["h"].to_numpy(), p).tobytes())
+        out = pd.DataFrame({key_col: keys, "regs": regs})
+        out["shard"] = pd.util.hash_pandas_object(out[key_col], index=False) \
+                         .to_numpy() % num_shards
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "regs" not in g.columns:
+            return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                                 "approx_distinct": pd.Series([], dtype="int64")})
+        rows = []
+        for kk, sub in g.groupby(key_col, sort=False):
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for blob in sub["regs"]:
+                np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+            rows.append({key_col: kk,
+                         "approx_distinct": int(round(hll_estimate(merged)))})
+        return pd.DataFrame(rows)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("shard").map_groups(merge, batch_format="pandas"))

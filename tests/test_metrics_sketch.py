@@ -175,3 +175,26 @@ def test_mg_loop_twin_same_bound():
     order = np.argsort(-counts, kind="stable")[:cap]
     kept = dict(zip(uniq[order], counts[order]))
     assert 5 in kept and true5 - n // cap <= kept[5] <= true5
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(11)
+    n_per = {"a": 50, "b": 1000, "c": 20000}
+    frames = [pd.DataFrame({"k": k, "v": rng.integers(0, 10 * n, size=5 * n)})
+              for k, n in n_per.items()]
+    df = pd.concat(frames, ignore_index=True)
+    exact = df.groupby("k")["v"].nunique()
+    got = grouped_approx_distinct(
+        rd.from_pandas(df).repartition(8), "k", "v") \
+        .to_pandas().set_index("k")["approx_distinct"]
+    for k in n_per:
+        assert abs(got[k] - exact[k]) / exact[k] < 0.05, (k, got[k], exact[k])
+    # determinism across block layouts
+    got2 = grouped_approx_distinct(
+        rd.from_pandas(df).repartition(3), "k", "v") \
+        .to_pandas().set_index("k")["approx_distinct"]
+    assert got.sort_index().tolist() == got2.sort_index().tolist()
