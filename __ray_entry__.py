@@ -733,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_active_days": A.q_events_user_active_days,
         "events_cohort_retention": A.q_events_cohort_retention,
         "doc_token_freq_spectrum": D.q_doc_token_freq_spectrum,
+        "events_segment_revenue": A.q_events_segment_revenue,
         # round-3 analytic additions with local oracles (outside the
         # 50-entry driver window; value-checked by scripts/check_oracle.py)
         "orders_ntile": A.q_orders_ntile,
@@ -781,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_active_days": A.Q_EVENTS_USER_ACTIVE_DAYS_SQL,
         "events_cohort_retention": A.Q_EVENTS_COHORT_RETENTION_SQL,
         "doc_token_freq_spectrum": D.Q_DOC_TOKEN_FREQ_SPECTRUM_SQL,
+        "events_segment_revenue": A.Q_EVENTS_SEGMENT_REVENUE_SQL,
         "doc_inverted_index": D.Q_DOC_INVERTED_INDEX_SQL,
         "doc_rarity": D.Q_DOC_RARITY_SQL,
         "doc_tfidf_top_terms": D.q_doc_tfidf_sql(),

@@ -139,6 +139,8 @@ def run_queries() -> dict[str, float]:
         "doc_minhash_dedup", "doc_exact_dedup",
         "embedding_topk", "embedding_near_dup",
         "transcript_merge", "orders_price_quantiles",
+        "q17_avg_yearly", "lineitem_bloom_semi",
+        "doc_inverted_index", "events_cohort_retention",
     ]
     out: dict[str, float] = {}
     for name in chosen:

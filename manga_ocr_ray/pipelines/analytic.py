@@ -649,3 +649,50 @@ SELECT CAST(cohort AS VARCHAR) AS cohort_day, day_offset,
        count(*) AS n_users
 FROM d GROUP BY cohort, day_offset
 """
+
+
+# ---- skew-aware join ------------------------------------------------------------
+
+def q_events_segment_revenue(sf_dir: str) -> rd.Dataset:
+    """Event value by customer market segment through the SKEW-AWARE join
+    (``stages.skewjoin``): heavy-hitter users are detected with the
+    bounded-memory summary, their rows merged map-side against broadcast
+    dim rows, the cold remainder hash-joins with near-uniform partitions.
+    The SQL oracle is the plain inner join — proving the split+union path
+    is semantically invisible.  ``hot_frac`` is set low so the hot path is
+    actually exercised on the near-uniform driver corpus (pytest pins
+    hot+cold equivalence; at 100 TB the default 0.001 only triggers on
+    true celebrity keys)."""
+    from ..stages.skewjoin import skew_join_fact_dim
+
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "val_c": _cents(t["value"])})
+
+    ev = ev.map_batches(cents, batch_format="pyarrow")
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = skew_join_fact_dim(ev, "user_id", cust, "c_custkey",
+                                num_partitions=_join_partitions(),
+                                hot_frac=0.005)
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Sum("val_c", alias_name="sum_c"), Count(alias_name="n_events"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_c"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({"c_mktsegment": t["c_mktsegment"],
+                         "total_value": s / 100.0,
+                         "n_events": pc.cast(t["n_events"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_EVENTS_SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""

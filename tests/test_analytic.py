@@ -196,3 +196,25 @@ def test_freq_spectrum_mass_conservation(ray_session):
     total_from_spec = (spec["freq"] * spec["n_tokens"]).sum()
     total_tokens = q_doc_token_count(SF_DIR).to_pandas()["n_tokens"].sum()
     assert total_from_spec == total_tokens   # sum_k k·S(k) == corpus tokens
+
+
+def test_skew_join_equals_plain_join(ray_session):
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.skewjoin import detect_hot_keys, skew_join_fact_dim
+
+    rng = np.random.default_rng(5)
+    # one celebrity key (40% of rows) + uniform tail
+    keys = np.where(rng.random(8000) < 0.4, 7, rng.integers(0, 200, size=8000))
+    fact = pd.DataFrame({"fk": keys, "v": np.arange(8000)})
+    dim = pd.DataFrame({"k": np.arange(200), "name": [f"d{i}" for i in range(200)]})
+
+    hot = detect_hot_keys(rd.from_pandas(fact).repartition(8), "fk", hot_frac=0.05)
+    assert 7 in hot                      # the celebrity is detected
+    out = skew_join_fact_dim(rd.from_pandas(fact).repartition(8), "fk",
+                             rd.from_pandas(dim), "k",
+                             num_partitions=4, hot_frac=0.05).to_pandas()
+    want = fact.merge(dim, left_on="fk", right_on="k").drop(columns=["k"])
+    pd.testing.assert_frame_equal(
+        out.sort_values("v").reset_index(drop=True)[["fk", "v", "name"]],
+        want.sort_values("v").reset_index(drop=True)[["fk", "v", "name"]])
