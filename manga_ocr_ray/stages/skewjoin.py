@@ -66,11 +66,24 @@ def skew_join_fact_dim(fact: rd.Dataset, fact_key: str, dim: rd.Dataset,
     """Inner-join ``fact`` to ``dim`` with hot fact keys routed around the
     shuffle.  Exact inner-join semantics (dim assumed unique on ``dim_key``,
     the usual dimension contract).  Output columns: fact ∪ (dim − dim_key)
-    — matching what the broadcast-merge path produces."""
-    hot = detect_hot_keys(fact, fact_key, hot_frac=hot_frac, top_k=top_k)
+    — matching what the broadcast-merge path produces.
+
+    Degenerate-input guard: Ray's hash join wedges on EMPTY partitions of
+    either side (schema loss in the shuffle aggregator), and a tiny corpus
+    with a low ``hot_frac`` can route almost every row down the hot path.
+    The cold mass is estimated for FREE from the already-computed
+    heavy-hitter summary (n − hot est mass, an overestimate since the
+    summary undercounts); only when that estimate is small do we pay an
+    exact count to drop the join entirely or shrink its partition count —
+    at production scale the estimate is huge and no extra pass happens."""
+    hh = heavy_hitters(fact, fact_key, k=top_k)
+    n = fact.count()
+    hot_rows = hh[hh["est_count"] >= hot_frac * max(1, n)]
+    hot = hot_rows["item"].to_numpy()
     if hot.size == 0:
         return fact.join(dim, join_type="inner", on=(fact_key,),
                          right_on=(dim_key,), num_partitions=num_partitions)
+    cold_est = n - int(hot_rows["est_count"].sum())
 
     hot_arr = pa.array(hot)
     dim_hot = dim.map_batches(
@@ -88,11 +101,19 @@ def skew_join_fact_dim(fact: rd.Dataset, fact_key: str, dim: rd.Dataset,
     merged_hot = fact_hot.map_batches(
         _HotMerge, fn_constructor_args=(dim_ref, fact_key, dim_key),
         batch_format="pandas", concurrency=concurrency)
+    # output columns: fact ∪ (dim − dim_key) — the hash join keeps dim_key,
+    # the map-side merge consumed it as the index; select the same order
+    out_cols = list(fact.schema().names) + \
+        [c for c in dim.schema().names if c != dim_key]
+
+    if cold_est < 10_000:
+        n_cold = fact_cold.count()
+        if n_cold == 0:
+            return merged_hot.select_columns(out_cols)
+        num_partitions = max(1, min(num_partitions, n_cold // 10_000 + 1))
+
     joined_cold = fact_cold.join(dim, join_type="inner", on=(fact_key,),
                                  right_on=(dim_key,),
                                  num_partitions=num_partitions)
-    # align column sets/order: the hash join keeps dim_key, the map-side
-    # merge consumed it as the index — drop it and select the same order
-    cold_cols = [c for c in joined_cold.schema().names if c != dim_key]
-    return joined_cold.select_columns(cold_cols) \
-                      .union(merged_hot.select_columns(cold_cols))
+    return joined_cold.select_columns(out_cols) \
+                      .union(merged_hot.select_columns(out_cols))

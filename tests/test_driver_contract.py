@@ -54,3 +54,29 @@ def test_query_matches_oracle_rowcount(entrymod, con, name):
     want = con.sql(oracles[name]).df()
     assert len(got) == len(want)
     assert sorted(got.columns) == sorted(want.columns)
+
+
+def test_driver_window_is_all_oracle_bearing(entrymod):
+    """The driver's correctness gate evaluates exactly the FIRST 50 queries()
+    entries (r2 verdict: the flagship fell outside it).  Pin: every one of
+    the first 50 has a SQL oracle, and the flagship transcript gates lead."""
+    qs, oracles = list(entrymod.queries()), entrymod.oracle_sql()
+    window = qs[:50]
+    assert all(name in oracles for name in window), \
+        [n for n in window if n not in oracles]
+    assert window[0] == "transcript_extract"
+    assert "transcript_merge" in window[:5]
+    assert "transcript_cer" in window[:5]
+
+
+def test_new_family_queries_match_oracle_rowcount(entrymod, con):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ["q17_avg_yearly", "lineitem_bloom_semi", "doc_inverted_index",
+                 "events_first_last", "doc_rarity", "events_user_active_days",
+                 "events_cohort_retention", "doc_token_freq_spectrum",
+                 "events_segment_revenue"]:
+        got = qs[name](SF_DIR)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(oracles[name]).df()
+        assert len(got) == len(want), name
+        assert sorted(got.columns) == sorted(want.columns), name
