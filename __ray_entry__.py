@@ -734,6 +734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": A.q_events_cohort_retention,
         "doc_token_freq_spectrum": D.q_doc_token_freq_spectrum,
         "events_segment_revenue": A.q_events_segment_revenue,
+        "events_cube": A.q_events_cube,
+        "events_fill_clean": A.q_events_fill_clean,
         # round-3 analytic additions with local oracles (outside the
         # 50-entry driver window; value-checked by scripts/check_oracle.py)
         "orders_ntile": A.q_orders_ntile,
@@ -783,6 +785,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": A.Q_EVENTS_COHORT_RETENTION_SQL,
         "doc_token_freq_spectrum": D.Q_DOC_TOKEN_FREQ_SPECTRUM_SQL,
         "events_segment_revenue": A.Q_EVENTS_SEGMENT_REVENUE_SQL,
+        "events_cube": A.Q_EVENTS_CUBE_SQL,
+        "events_fill_clean": A.Q_EVENTS_FILL_CLEAN_SQL,
         "doc_inverted_index": D.Q_DOC_INVERTED_INDEX_SQL,
         "doc_rarity": D.Q_DOC_RARITY_SQL,
         "doc_tfidf_top_terms": D.q_doc_tfidf_sql(),

@@ -696,3 +696,70 @@ SELECT c_mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+# ---- CUBE super-aggregates ------------------------------------------------------
+
+def q_events_cube(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY CUBE(event_type, dow)`` — all four grouping sets from ONE
+    combining groupby of the raw table; the three super-levels are a
+    driver-side finish on the dimension-bounded fine result (same policy as
+    q_events_rollup: re-shuffling a types × 7 table is pure overhead)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        # ISO dow 1-7 to match DuckDB's isodow()
+        return pa.table({"event_type": t["event_type"],
+                         "dow": pc.cast(pc.add(pc.day_of_week(t["ts"]),
+                                               pa.scalar(1)), pa.int64())})
+
+    fine = ds.map_batches(keys, batch_format="pyarrow") \
+             .groupby(["event_type", "dow"]).aggregate(Count(alias_name="n")) \
+             .to_pandas()
+    fine["n"] = fine["n"].astype("int64")
+    per_type = fine.groupby("event_type", as_index=False)["n"].sum()
+    per_type["dow"] = np.nan
+    per_dow = fine.groupby("dow", as_index=False)["n"].sum()
+    per_dow["event_type"] = None
+    grand = pd.DataFrame({"event_type": [None], "dow": [np.nan],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, per_type[["event_type", "dow", "n"]],
+                     per_dow[["event_type", "dow", "n"]], grand],
+                    ignore_index=True)
+    out["dow"] = out["dow"].astype("float64")
+    return out[["event_type", "dow", "n"]]
+
+
+Q_EVENTS_CUBE_SQL = """
+SELECT event_type, CAST(isodow(ts) AS DOUBLE) AS dow, count(*) AS n
+FROM events GROUP BY CUBE(event_type, CAST(isodow(ts) AS DOUBLE))
+"""
+
+
+# ---- null handling: COALESCE / fillna / dropna as first-class transforms --------
+
+def q_events_fill_clean(sf_dir: str) -> rd.Dataset:
+    """Null-handling kernels (D3 family): COALESCE(value, 0), fill null
+    props with '{}', drop rows with null event_type — one vectorized Arrow
+    pass (fill_null / drop_null are C kernels)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value", "props"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_type"]))
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value_filled": pc.fill_null(t["value"], pa.scalar(0.0)),
+            "props_filled": pc.fill_null(t["props"], pa.scalar("{}")),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+Q_EVENTS_FILL_CLEAN_SQL = """
+SELECT event_id, event_type,
+       COALESCE(value, 0.0) AS value_filled,
+       COALESCE(props, '{}') AS props_filled
+FROM events WHERE event_type IS NOT NULL
+"""
