@@ -74,7 +74,7 @@ def test_new_family_queries_match_oracle_rowcount(entrymod, con):
     for name in ["q17_avg_yearly", "lineitem_bloom_semi", "doc_inverted_index",
                  "events_first_last", "doc_rarity", "events_user_active_days",
                  "events_cohort_retention", "doc_token_freq_spectrum",
-                 "events_segment_revenue"]:
+                 "events_segment_revenue", "events_cube", "events_fill_clean"]:
         got = qs[name](SF_DIR)
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
         want = con.sql(oracles[name]).df()
