@@ -736,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_segment_revenue": A.q_events_segment_revenue,
         "events_cube": A.q_events_cube,
         "events_fill_clean": A.q_events_fill_clean,
+        "doc_repeated_spans": D.q_doc_repeated_spans,
         # round-3 analytic additions with local oracles (outside the
         # 50-entry driver window; value-checked by scripts/check_oracle.py)
         "orders_ntile": A.q_orders_ntile,
@@ -787,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "events_segment_revenue": A.Q_EVENTS_SEGMENT_REVENUE_SQL,
         "events_cube": A.Q_EVENTS_CUBE_SQL,
         "events_fill_clean": A.Q_EVENTS_FILL_CLEAN_SQL,
+        "doc_repeated_spans": D.q_doc_repeated_spans_sql(),
         "doc_inverted_index": D.Q_DOC_INVERTED_INDEX_SQL,
         "doc_rarity": D.Q_DOC_RARITY_SQL,
         "doc_tfidf_top_terms": D.q_doc_tfidf_sql(),

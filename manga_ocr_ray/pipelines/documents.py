@@ -899,3 +899,133 @@ WITH tf AS (SELECT token, count(*) AS c
             GROUP BY token)
 SELECT c AS freq, count(*) AS n_tokens FROM tf GROUP BY c
 """
+
+
+# ---- cross-document repeated-span detection (substring-dedup core) ----------
+
+def _doc_grams(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """(doc_id, pos, gram) rows — every k-token window of every document,
+    built fully vectorized: one Arrow explode per batch (the q_doc_tokens
+    machinery), then the k-gram strings come from ``binary_join_element_wise``
+    over SHIFTED SLICES of the flat token array (no Python per token), with a
+    parent mask keeping only windows that stay inside one document."""
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        wrapped = pc.replace_substring_regex(
+            t["text"].combine_chunks(), pattern=f"({TOKEN_PATTERN})",
+            replacement="\x00\\1\x00")
+        toks = pc.split_pattern(wrapped, "\x00")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        keep_arr = pc.and_(
+            pc.not_equal(pc.utf8_length(flat), pa.scalar(0)),
+            pc.match_substring_regex(flat, f"^(?:{TOKEN_PATTERN})$"))
+        keep = keep_arr.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep_arr)
+        parent = parent[keep]
+        n = len(flat)
+        if n < k:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string())})
+        # per-doc position (segmented cumcount over contiguous parents)
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, np.diff(parent) != 0])
+        pos = pos - np.repeat(pos[starts], np.diff(np.r_[starts, n]))
+        # k-gram join of shifted slices; valid where the window's first and
+        # last token share a parent (parents are sorted, so equality at the
+        # endpoints implies the whole window is in one doc)
+        parts = [flat.slice(i, n - k + 1) for i in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = parent[: n - k + 1] == parent[k - 1:]
+        doc_ids = t["doc_id"].combine_chunks().to_numpy()[parent[: n - k + 1]]
+        vmask = pa.array(valid)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()).filter(vmask),
+            "pos": pa.array(pos[: n - k + 1], pa.int64()).filter(vmask),
+            "g": joined.filter(vmask),
+        })
+
+    return ds.map_batches(grams, batch_format="pyarrow")
+
+
+def q_doc_repeated_spans(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Cross-document repeated spans — the detection core of exact substring
+    dedup ("Deduplicating Training Data Makes Language Models Better", Lee
+    et al. 2022): maximal token runs covered by k-grams that occur in MORE
+    THAN ONE document.  Downstream curation trims or drops these spans.
+
+    Plan (corpus shuffles k-gram strings once, ~20 B/row):
+    - gram stream (vectorized, `_doc_grams`) → distinct (g, doc) pairs via
+      one combining groupby → grams with doc-count > 1 (the duplicated-gram
+      vocabulary, sublinear) — broadcast back as a membership set (at 100 TB
+      swap the broadcast for a hash join on g: same shape as the TF-IDF idf
+      lookup swap);
+    - the gram stream re-derives (cheap kernels — recompute beats pinning a
+      corpus-sized intermediate) and keeps only duplicated positions;
+    - maximal runs via the gaps-and-islands trick per doc — hash-shard by
+      doc, ONE vectorized pandas pass per shard (pos − rank is constant
+      within a run), outputs (doc_id, span_start, span_tokens)."""
+    import ray as _ray
+
+    from .relational import _shard_by_int
+
+    grams = _doc_grams(sf_dir, k)
+    dup = grams.groupby(["g", "doc_id"]).aggregate(Count(alias_name="_c")) \
+               .groupby("g").aggregate(Count(alias_name="nd"))
+    dup_pd = dup.map_batches(
+        lambda t: t.filter(pc.greater(t["nd"], pa.scalar(1))).select(["g"]),
+        batch_format="pyarrow").to_pandas()
+    dup_ref = _ray.put(pd.Index(dup_pd["g"]))
+
+    class Mark:
+        def __init__(self, ref):
+            self.dup = _ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = b["g"].isin(self.dup).to_numpy()
+            return b.loc[m, ["doc_id", "pos"]]
+
+    marked = grams.map_batches(Mark, fn_constructor_args=(dup_ref,),
+                               batch_format="pandas", concurrency=(1, 8))
+
+    def islands(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.sort_values(["doc_id", "pos"], kind="mergesort")
+        pos = gdf["pos"].to_numpy(np.int64)
+        doc = gdf["doc_id"].to_numpy(np.int64)
+        new_run = np.r_[True, (np.diff(doc) != 0) | (np.diff(pos) != 1)]
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], len(pos)] - 1
+        return pd.DataFrame({
+            "doc_id": doc[starts],
+            "span_start": pos[starts],
+            "span_tokens": pos[ends] - pos[starts] + k,
+        })
+
+    return _shard_by_int(marked, "doc_id").groupby("shard") \
+        .map_groups(islands, batch_format="pandas") \
+        .select_columns(["doc_id", "span_start", "span_tokens"])
+
+
+def q_doc_repeated_spans_sql(k: int = 3) -> str:
+    gram_expr = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') ws
+              FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-{k-1}, 0)),
+                i -> i - 1)) AS pos,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-{k-1}, 0)),
+                i -> {gram_expr})) AS g
+  FROM toks),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+marked AS (SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM grams JOIN dup USING (g))
+SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + {k} AS span_tokens
+FROM marked GROUP BY doc_id, grp
+"""

@@ -189,3 +189,26 @@ def test_cluster_reps_ds_empty_pairs(ray_session):
     }))
     got = near_dup_cluster_assign_ds(docs, empty).to_pandas()
     assert (got["doc_id"] == got["cluster_rep"]).all() and len(got) == 3
+
+
+def test_repeated_spans_detects_planted_overlap(ray_session, tmp_path, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from manga_ocr_ray.pipelines.documents import q_doc_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"          # 6 shared tokens
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [f"unique one two {shared} tail1 only here",
+                 f"other words {shared} trailing different stuff",
+                 "completely disjoint token soup nothing shared"],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = q_doc_repeated_spans(str(tmp_path)).to_pandas() \
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    # docs 1 and 2 each carry exactly one maximal 6-token repeated span
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["span_tokens"].tolist() == [6, 6]
+    assert out.loc[0, "span_start"] == 3   # after 'unique one two'
+    assert out.loc[1, "span_start"] == 2   # after 'other words'
