@@ -141,6 +141,7 @@ def run_queries() -> dict[str, float]:
         "transcript_merge", "orders_price_quantiles",
         "q17_avg_yearly", "lineitem_bloom_semi",
         "doc_inverted_index", "events_cohort_retention",
+        "doc_repeated_spans",
     ]
     out: dict[str, float] = {}
     for name in chosen:
