@@ -116,6 +116,15 @@ def bloom_semi_join(fact: rd.Dataset, fact_key: str, keys: rd.Dataset,
     key set is the SMALL side by contract (that's why a bloom of it fits),
     so pinning it in the object store is bounded."""
     keys = keys.materialize()
+    if keys.count() == 0:
+        # an all-zero bloom prunes every fact row and the downstream hash
+        # join wedges on empty partitions — the semi-join of anything with
+        # an empty key set is empty; build it explicitly, schema included
+        fs, ks = fact.schema(), keys.schema()
+        fields = list(zip(fs.names, fs.types)) + \
+            [(n, t) for n, t in zip(ks.names, ks.types) if n not in fs.names]
+        return rd.from_arrow(pa.table(
+            {n: pa.array([], t) for n, t in fields}))
     ref, m_bits, k = bloom_from_dataset(keys, key_col, bits_per_key=bits_per_key)
     pruned = fact.map_batches(BloomPrune, fn_constructor_args=(ref, m_bits, k, fact_key),
                               batch_format="pyarrow", concurrency=concurrency)
