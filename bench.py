@@ -187,7 +187,14 @@ def main() -> None:
 
 def scaling() -> None:
     """Same job, two parallelism levels, fresh processes (north-rule
-    evidence protocol)."""
+    evidence protocol).
+
+    Levels default to (8, 32) — the headline N-vs-4N analog on this
+    32-core box.  ``GRAFT_SCALING_LEVELS="4,16"`` runs the SAME protocol
+    at a different N-vs-4N pair; used only as clearly-labeled supplementary
+    evidence when hypervisor steal leaves fewer than 32 effective cores
+    (a 32-cpu leg then measures the host, not the engine).  The selection
+    rule (median pair, clamped) is identical at every level pair."""
     # generate the corpus (if missing) at full parallelism, not inside the
     # slow small-N child
     subprocess.run(
@@ -222,19 +229,23 @@ def scaling() -> None:
         steal_pct = round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
         return json.loads(out.strip().splitlines()[-1]), steal_pct
 
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
+    factor = hi / lo
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     pairs = []
     for _ in range(rounds):
-        (r8, st8), (r32, st32) = run_child(8), run_child(32)
+        (rlo, stlo), (rhi, sthi) = run_child(lo), run_child(hi)
         pairs.append({
-            "turns": r32["turns"],
-            "sec_8cpu": r8["value"], "sec_32cpu": r32["value"],
-            "turns_per_sec_8cpu": r8["turns_per_sec"],
-            "turns_per_sec_32cpu": r32["turns_per_sec"],
-            "efficiency": round((r32["turns_per_sec"] / r8["turns_per_sec"]) / 4, 3),
+            "turns": rhi["turns"],
+            f"sec_{lo}cpu": rlo["value"], f"sec_{hi}cpu": rhi["value"],
+            f"turns_per_sec_{lo}cpu": rlo["turns_per_sec"],
+            f"turns_per_sec_{hi}cpu": rhi["turns_per_sec"],
+            "efficiency": round(
+                (rhi["turns_per_sec"] / rlo["turns_per_sec"]) / factor, 3),
             # host-condition evidence only — never used for selection
-            "host_steal_pct_8cpu_leg": st8,
-            "host_steal_pct_32cpu_leg": st32,
+            "host_steal_pct_lo_leg": stlo,
+            "host_steal_pct_hi_leg": sthi,
         })
     # Headline = the MEDIAN pair, clamped to 1.0 (r2 judge: best-of-N on a
     # ratio is biased upward — a noise-slowed 8-cpu leg inflates it, and
@@ -249,19 +260,21 @@ def scaling() -> None:
     best = max(pairs, key=lambda p: min(p["efficiency"], 1.0))
     med = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+        "levels": [lo, hi],
         "turns": med["turns"],
-        "sec_8cpu": med["sec_8cpu"],
-        "sec_32cpu": med["sec_32cpu"],
-        "turns_per_sec_8cpu": med["turns_per_sec_8cpu"],
-        "turns_per_sec_32cpu": med["turns_per_sec_32cpu"],
-        "speedup": round(med["turns_per_sec_32cpu"] / med["turns_per_sec_8cpu"], 3),
+        f"sec_{lo}cpu": med[f"sec_{lo}cpu"],
+        f"sec_{hi}cpu": med[f"sec_{hi}cpu"],
+        f"turns_per_sec_{lo}cpu": med[f"turns_per_sec_{lo}cpu"],
+        f"turns_per_sec_{hi}cpu": med[f"turns_per_sec_{hi}cpu"],
+        "speedup": round(
+            med[f"turns_per_sec_{hi}cpu"] / med[f"turns_per_sec_{lo}cpu"], 3),
         "scaling_efficiency": min(med["efficiency"], 1.0),
         "median_pair_efficiency": med["efficiency"],
         "best_pair_efficiency": min(best["efficiency"], 1.0),
         "per_pair_efficiency": [p["efficiency"] for p in pairs],
         "per_pair_host_steal_pct": [
-            [p["host_steal_pct_8cpu_leg"], p["host_steal_pct_32cpu_leg"]]
+            [p["host_steal_pct_lo_leg"], p["host_steal_pct_hi_leg"]]
             for p in pairs],
     }))
 

@@ -763,3 +763,65 @@ SELECT event_id, event_type,
        COALESCE(props, '{}') AS props_filled
 FROM events WHERE event_type IS NOT NULL
 """
+
+
+# ---- ordered-sequence funnel (MATCH_RECOGNIZE-lite) --------------------------
+
+def q_events_funnel(sf_dir: str) -> rd.Dataset:
+    """Per-user ordered funnel view → click → purchase with
+    earliest-completion semantics: t1 = first 'view', t2 = first 'click'
+    strictly after t1, t3 = first 'purchase' strictly after t2; stage = how
+    deep the user got (0–3).  The ordered-sequence/funnel shape (SQL
+    MATCH_RECOGNIZE-lite) that event-analytics engines treat as a primitive.
+
+    Distribution: ONE hash partition on user_id (``_shard_by_int`` — same
+    ordering contract as sessionization: within-shard sort, never block
+    order), then each funnel stage is a vectorized pandas pass over the
+    whole shard — per-user min-reductions via groupby transforms, no
+    per-user Python.  At 10^12 events this is the sessionization plan: the
+    event stream shuffles once on the reused user_id key; stage state is
+    three per-user timestamps (tiny)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    from .relational import _shard_by_int
+
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        _funnel_shard, batch_format="pandas")
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """One vectorized funnel pass over a user-complete shard."""
+    users = pd.DataFrame({"user_id": g["user_id"].unique()})
+    prev = None  # per-user timestamp of the previous completed stage
+    stage = pd.Series(0, index=users["user_id"], dtype="int64")
+    for depth, step in enumerate(FUNNEL_STEPS, start=1):
+        rows = g[g["event_type"] == step]
+        if prev is not None:
+            cut = rows["user_id"].map(prev)
+            rows = rows[rows["ts"] > cut]  # NaT compares False → drops
+        t = rows.groupby("user_id")["ts"].min()
+        stage[stage.index.isin(t.index) & (stage == depth - 1)] = depth
+        # only users who reached this stage can advance past it
+        prev = t[stage[t.index] == depth]
+    return pd.DataFrame({"user_id": stage.index.to_numpy(),
+                         "stage": stage.to_numpy()})
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""

@@ -1029,3 +1029,45 @@ marked AS (SELECT doc_id, pos,
 SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + {k} AS span_tokens
 FROM marked GROUP BY doc_id, grp
 """
+
+
+# ---- percentile-threshold quality gate (Gopher-style dynamic cutoff) --------
+
+def q_doc_quality_gate(sf_dir: str, drop_frac: float = 0.10) -> rd.Dataset:
+    """Drop the WORST ``drop_frac`` of the corpus by stopword_ratio — the
+    Gopher/CCNet curation pattern where the filter threshold is a corpus
+    percentile, not a fixed constant, so the gate adapts to the corpus.
+
+    Rank-based (not value-threshold) semantics: docs are totally ordered by
+    (stopword_ratio asc, doc_id) and the bottom ``floor(n·drop_frac)`` ranks
+    are dropped — exact, deterministic, no float-threshold tie ambiguity.
+    Distribution: the vectorized quality kernel streams, then one
+    range-partitioned sort + per-block offsets (``global_rank`` — rows never
+    funnel through the driver; only per-block counts do).  At 10^12 docs the
+    sort carries only (doc_id, ratio) — 16 B/row, not the text."""
+    from .relational import global_rank
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    scored = ds.map_batches(
+        lambda t: quality_batch(t, "text").select(["doc_id", "stopword_ratio"]),
+        batch_format="pyarrow")
+    ranked = global_rank(scored, ["stopword_ratio", "doc_id"], rank_col="rn")
+    n = ranked.count()
+    cutoff = int(n * drop_frac)
+    return ranked.filter(expr=f"rn > {cutoff}")
+
+
+Q_DOC_QUALITY_GATE_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b'))
+           * 1.0 / greatest(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 1)
+           AS stopword_ratio
+  FROM documents),
+r AS (SELECT doc_id, stopword_ratio,
+             row_number() OVER (ORDER BY stopword_ratio, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM s)
+SELECT doc_id, stopword_ratio, rn FROM r
+WHERE rn > CAST(floor(n * 0.10) AS BIGINT)
+"""

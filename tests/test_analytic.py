@@ -218,3 +218,49 @@ def test_skew_join_equals_plain_join(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("v").reset_index(drop=True)[["fk", "v", "name"]],
         want.sort_values("v").reset_index(drop=True)[["fk", "v", "name"]])
+
+
+def test_funnel_strict_order_semantics(ray_session):
+    """view→click→purchase must happen in strictly increasing ts order:
+    a click BEFORE the first view doesn't count, a purchase between view
+    and click doesn't count, equal timestamps don't advance (strict >)."""
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.analytic import q_events_funnel  # noqa: F401 (import path pin)
+    from manga_ocr_ray.pipelines.relational import _shard_by_int  # noqa: F401
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = []
+    # u1 completes in order → 3
+    rows += [(1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "purchase")]
+    # u2: click before view, purchase after view → stage 1 (click never after view)
+    rows += [(2, t0, "click"), (2, t0 + m, "view"), (2, t0 + 2 * m, "purchase")]
+    # u3: purchase between view and click → stage 2
+    rows += [(3, t0, "view"), (3, t0 + m, "purchase"), (3, t0 + 2 * m, "click")]
+    # u4: click at SAME ts as view → strict > means no advance → stage 1
+    rows += [(4, t0, "view"), (4, t0, "click")]
+    # u5: only error events → stage 0
+    rows += [(5, t0, "error")]
+    # u6: second view later, click between the views → stage 2 via FIRST view
+    rows += [(6, t0, "view"), (6, t0 + m, "click"), (6, t0 + 2 * m, "view")]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+
+    from manga_ocr_ray.pipelines import analytic as A
+
+    out = (_shard_by_int(rd.from_pandas(df), "user_id")
+           .groupby("shard")
+           .map_groups(A._funnel_shard, batch_format="pandas")
+           .to_pandas().set_index("user_id")["stage"].sort_index())
+    assert out.to_dict() == {1: 3, 2: 1, 3: 2, 4: 1, 5: 0, 6: 2}
+
+
+def test_quality_gate_drops_bottom_decile(ray_session):
+    from manga_ocr_ray.pipelines.documents import q_doc_quality_gate
+
+    out = q_doc_quality_gate(SF_DIR).to_pandas()
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert len(out) == n - int(n * 0.10)
+    assert out["rn"].min() == int(n * 0.10) + 1
