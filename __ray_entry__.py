@@ -739,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repeated_spans": D.q_doc_repeated_spans,
         "events_funnel": A.q_events_funnel,
         "doc_quality_gate": D.q_doc_quality_gate,
+        "doc_bm25": D.q_doc_bm25,
         # round-3 analytic additions with local oracles (outside the
         # 50-entry driver window; value-checked by scripts/check_oracle.py)
         "orders_ntile": A.q_orders_ntile,
@@ -793,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repeated_spans": D.q_doc_repeated_spans_sql(),
         "events_funnel": A.Q_EVENTS_FUNNEL_SQL,
         "doc_quality_gate": D.Q_DOC_QUALITY_GATE_SQL,
+        "doc_bm25": D.q_doc_bm25_sql(),
         "doc_inverted_index": D.Q_DOC_INVERTED_INDEX_SQL,
         "doc_rarity": D.Q_DOC_RARITY_SQL,
         "doc_tfidf_top_terms": D.q_doc_tfidf_sql(),

@@ -1071,3 +1071,107 @@ r AS (SELECT doc_id, stopword_ratio,
 SELECT doc_id, stopword_ratio, rn FROM r
 WHERE rn > CAST(floor(n * 0.10) AS BIGINT)
 """
+
+
+# ---- BM25 retrieval scoring (completes the retrieval pillar: inverted
+# ---- index → candidate docs, BM25 → ranking, ANN → dense retrieval) ---------
+
+BM25_TERMS = ["table", "merge", "fast", "hash"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_doc_bm25(sf_dir: str) -> rd.Dataset:
+    """Okapi BM25 score of every matching document against a fixed query
+    (idf = ln((N−df+0.5)/(df+0.5)+1), the Robertson/Sparck-Jones form).
+
+    Distributed plan — nothing corpus-sized touches the driver:
+    - doc lengths: one combining groupby(doc_id) over the token stream;
+    - per-(doc, term) tf: the token stream is pruned MAP-SIDE to the ≤4
+      query terms (an ``is_in`` Arrow kernel) before its groupby, so the
+      tf shuffle carries only matching rows;
+    - df/N/avgdl: query-term-bounded (≤4 rows) and two scalars — the only
+      driver-side values, broadcast into the scorer;
+    - tf ⋈ doclen: hash join on doc_id (both sides one-row-per-doc-ish;
+      the join reuses the same key the groupbys just partitioned on);
+    - final score: vectorized formula per (doc, term) row, then one
+      combining groupby(doc_id) Sum (≤4 float terms per doc; the SQL twin
+      agrees to well past the hash compare's 6 decimals)."""
+    import ray as _ray
+
+    toks = q_doc_tokens(sf_dir).select_columns(["doc_id", "token"])
+    dl = toks.groupby("doc_id").aggregate(Count(alias_name="dl")).materialize()
+    n_docs = dl.count()
+    avgdl = int(dl.sum("dl")) * 1.0 / n_docs
+
+    terms = pa.array(BM25_TERMS)
+    tf = toks.map_batches(
+        lambda t: t.filter(pc.is_in(t["token"], value_set=terms)),
+        batch_format="pyarrow") \
+        .groupby(["doc_id", "token"]).aggregate(Count(alias_name="tf")) \
+        .materialize()
+    dfp = tf.groupby("token").aggregate(Count(alias_name="df")).to_pandas()
+    idf = pd.Series(
+        np.log((n_docs - dfp["df"].to_numpy(dtype=np.float64) + 0.5)
+               / (dfp["df"].to_numpy(dtype=np.float64) + 0.5) + 1.0),
+        index=dfp["token"])
+    idf_ref = _ray.put(idf)
+
+    # partition count sized to the (known, materialized) key cardinality so
+    # no hash partition is empty — an empty right partition loses its schema
+    # inside Acero and kills the join (same wedge the bloom/skew joins guard)
+    n_parts = max(1, min(_bm25_partitions(), n_docs // 1000))
+    joined = tf.join(dl, join_type="inner", num_partitions=n_parts,
+                     on=("doc_id",))
+
+    class Score:
+        def __init__(self, ref, avgdl):
+            self.idf = _ray.get(ref)
+            self.avgdl = avgdl
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            t = b["tf"].to_numpy(dtype=np.float64)
+            d = b["dl"].to_numpy(dtype=np.float64)
+            s = b["token"].map(self.idf).to_numpy(dtype=np.float64) \
+                * t * (BM25_K1 + 1.0) \
+                / (t + BM25_K1 * (1.0 - BM25_B + BM25_B * d / self.avgdl))
+            return pd.DataFrame({"doc_id": b["doc_id"], "s": s})
+
+    scored = joined.map_batches(Score, fn_constructor_args=(idf_ref, avgdl),
+                                batch_format="pandas", concurrency=(1, 8))
+    agg = scored.groupby("doc_id").aggregate(
+        Sum("s", alias_name="bm25"), Count(alias_name="n_terms"))
+
+    def as_types(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "bm25": pc.cast(t["bm25"], pa.float64()),
+                         "n_terms": pc.cast(t["n_terms"], pa.int64())})
+
+    return agg.map_batches(as_types, batch_format="pyarrow")
+
+
+def _bm25_partitions() -> int:
+    from .relational import _join_partitions
+
+    return _join_partitions()
+
+
+def q_doc_bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return rf"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+              FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       WHERE token IN ({terms}) GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+SELECT t.doc_id,
+       sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * t.tf * ({BM25_K1} + 1.0)
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)))
+         AS bm25,
+       count(*) AS n_terms
+FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id), stats s
+GROUP BY t.doc_id
+"""

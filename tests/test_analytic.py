@@ -264,3 +264,46 @@ def test_quality_gate_drops_bottom_decile(ray_session):
     ).fetchone()[0]
     assert len(out) == n - int(n * 0.10)
     assert out["rn"].min() == int(n * 0.10) + 1
+
+
+def test_bm25_matches_scalar_replica(ray_session, tmp_path):
+    """Distributed BM25 == an independent per-doc scalar computation."""
+    import math
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from manga_ocr_ray.pipelines.documents import (
+        BM25_B, BM25_K1, BM25_TERMS, q_doc_bm25)
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+    import re
+
+    docs = {
+        1: "table merge fast hash table table",
+        2: "slow scan row value merge",
+        3: "nothing relevant here at all",
+        4: "hash hash hash hash hash hash hash hash",
+    }
+    pq.write_table(pa.table({"doc_id": list(docs), "text": list(docs.values())}),
+                   str(tmp_path / "documents.parquet"))
+
+    out = q_doc_bm25(str(tmp_path)).to_pandas().set_index("doc_id")["bm25"]
+
+    tok = re.compile(TOKEN_PATTERN)
+    toks = {d: tok.findall(t) for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in BM25_TERMS}
+    want = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in BM25_TERMS:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (BM25_K1 + 1) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(v) / avgdl))
+        if s:
+            want[d] = s
+    assert set(out.index) == set(want)
+    for d in want:
+        assert abs(out[d] - want[d]) < 1e-9, d
