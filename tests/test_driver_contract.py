@@ -80,3 +80,22 @@ def test_new_family_queries_match_oracle_rowcount(entrymod, con):
         want = con.sql(oracles[name]).df()
         assert len(got) == len(want), name
         assert sorted(got.columns) == sorted(want.columns), name
+
+
+def test_every_oracle_sql_is_valid_duckdb(entrymod, con):
+    """EXPLAIN every oracle twin — catches SQL typos/renames in one cheap
+    pass without executing the queries (the value gate is check_oracle.py)."""
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover - failure path
+            raise AssertionError(f"oracle SQL for {name!r} invalid: {e}")
+
+
+def test_round3_wave3_rowcounts(entrymod, con):
+    for name in ["events_funnel", "doc_quality_gate", "doc_bm25"]:
+        got = entrymod.queries()[name](SF_DIR)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(entrymod.oracle_sql()[name]).df()
+        assert len(got) == len(want), name
+        assert sorted(got.columns) == sorted(want.columns), name
