@@ -742,6 +742,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": D.q_doc_bm25,
         # round-3 analytic additions with local oracles (outside the
         # 50-entry driver window; value-checked by scripts/check_oracle.py)
+        "doc_line_dedup": D.q_doc_line_dedup,
+        "doc_bigram_lm": D.q_doc_bigram_lm,
+        "events_trailing_hour": A.q_events_trailing_hour,
+        "events_user_mode": A.q_events_user_mode,
         "orders_ntile": A.q_orders_ntile,
         "lineitem_corr": A.q_lineitem_corr,
         "nations_intersect": A.q_nations_intersect,
@@ -778,6 +782,10 @@ def oracle_sql() -> dict[str, str]:
         # round-3 analytic families
         "q5_nation_volume": A.Q5_NATION_VOLUME_SQL,
         "events_rollup": A.Q_EVENTS_ROLLUP_SQL,
+        "doc_line_dedup": D.Q_DOC_LINE_DEDUP_SQL,
+        "doc_bigram_lm": D.Q_DOC_BIGRAM_LM_SQL,
+        "events_trailing_hour": A.Q_EVENTS_TRAILING_HOUR_SQL,
+        "events_user_mode": A.Q_EVENTS_USER_MODE_SQL,
         "orders_ntile": A.Q_ORDERS_NTILE_SQL,
         "lineitem_corr": A.Q_LINEITEM_CORR_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,

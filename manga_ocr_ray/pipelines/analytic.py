@@ -825,3 +825,89 @@ FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 LEFT JOIN p USING (user_id)
 """
+
+
+# ---- time-RANGE trailing window (interval frame, not row frame) --------------
+
+def q_events_trailing_hour(sf_dir: str) -> rd.Dataset:
+    """Per event: count and exact-cents sum of the same user's events in the
+    trailing 1-hour RANGE window (``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW`` — value-based frame incl. equal-ts peers, unlike the
+    row-based frames of events_moving_avg / events_cumulative).
+
+    Distribution: one hash partition on user_id (the reused events key),
+    then ONE vectorized pass per shard across all its users: per-user ts
+    columns are lifted into a single globally sorted int64 axis by adding a
+    per-user base offset (stride > shard ts-range + window), so both frame
+    edges come from two whole-shard ``np.searchsorted`` calls and the sums
+    from prefix-sum differences — no per-user Python loop.  Money math in
+    int64 cents (floats sum order-nondeterministically across blocks)."""
+    from .relational import _shard_by_int
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        _trailing_hour_shard, batch_format="pandas")
+
+
+def _trailing_hour_shard(g: pd.DataFrame, window_us: int = 3_600_000_000
+                         ) -> pd.DataFrame:
+    g = g.sort_values(["user_id", "ts"], kind="mergesort").reset_index(drop=True)
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+    # contiguous per-user segments → user index 0..U-1 per row
+    new_user = np.r_[True, uid[1:] != uid[:-1]]
+    user_ix = np.cumsum(new_user) - 1
+    stride = (ts.max() - ts.min()) + 2 * window_us if len(ts) else 0
+    lifted = ts + user_ix * stride  # globally sorted; frames can't cross users
+    lo = np.searchsorted(lifted, lifted - window_us, side="left")
+    hi = np.searchsorted(lifted, lifted, side="right")  # equal-ts peers in-frame
+    prefix = np.r_[0, np.cumsum(cents)]
+    return pd.DataFrame({
+        "event_id": g["event_id"],
+        "n_1h": (hi - lo).astype(np.int64),
+        "sum_1h": (prefix[hi] - prefix[lo]) / 100.0,
+    })
+
+
+Q_EVENTS_TRAILING_HOUR_SQL = """
+SELECT event_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---- mode aggregate (argmax-count per group, deterministic tie-break) --------
+
+def q_events_user_mode(sf_dir: str) -> rd.Dataset:
+    """Most frequent event_type per user (ties → lexicographically smallest
+    type).  The mode/argmax-count aggregate: a combining groupby computes
+    (user, type) counts — the only corpus-sized exchange — then the winner
+    per user is one vectorized sort + drop_duplicates per user shard."""
+    from .relational import _shard_by_int
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="n"))
+
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.drop_duplicates("user_id")[["user_id", "event_type", "n"]]
+        return out.rename(columns={"event_type": "mode_type"})
+
+    return _shard_by_int(counts, "user_id").groupby("shard").map_groups(
+        winner, batch_format="pandas")
+
+
+Q_EVENTS_USER_MODE_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rk FROM c)
+SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1
+"""

@@ -184,40 +184,43 @@ FROM documents
 # fully vectorized Arrow explode: split_pattern_regex → list_flatten +
 # list_parent_indices; no Python row loop.
 
+def _explode_tokens(t: pa.Table) -> pa.Table:
+    """One batch of documents → (doc_id, tok_idx, token) rows, vectorized.
+
+    "Extract all matches" via vectorized kernels (Arrow has no
+    extract-all): wrap every TOKEN_PATTERN match in \\x00 sentinels,
+    split on the sentinel, keep only full-pattern matches — this keeps
+    single-kanji tokens separate, which a complement-class split can't.
+    """
+    wrapped = pc.replace_substring_regex(
+        t["text"].combine_chunks(), pattern=f"({TOKEN_PATTERN})",
+        replacement="\x00\\1\x00")
+    toks = pc.split_pattern(wrapped, "\x00")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+    keep_arr = pc.and_(
+        pc.not_equal(pc.utf8_length(flat), pa.scalar(0)),
+        pc.match_substring_regex(flat, f"^(?:{TOKEN_PATTERN})$"),
+    )
+    keep = keep_arr.to_numpy(zero_copy_only=False)  # drop inter-match spans
+    parent = parent[keep]
+    # 0-based position among kept tokens of the same doc (parents are
+    # contiguous after flatten, so a segmented cumcount suffices)
+    pos = np.arange(parent.size, dtype=np.int64)
+    if parent.size:
+        starts = np.flatnonzero(np.r_[True, np.diff(parent) != 0])
+        pos = pos - np.repeat(pos[starts], np.diff(np.r_[starts, parent.size]))
+    doc_ids = t["doc_id"].combine_chunks().to_numpy()[parent]
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "tok_idx": pa.array(pos, pa.int64()),
+        "token": flat.filter(keep_arr),
+    })
+
+
 def q_doc_tokens(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def explode(t: pa.Table) -> pa.Table:
-        # "extract all matches" via vectorized kernels (Arrow has no
-        # extract-all): wrap every TOKEN_PATTERN match in \x00 sentinels,
-        # split on the sentinel, keep only full-pattern matches — this keeps
-        # single-kanji tokens separate, which a complement-class split can't.
-        wrapped = pc.replace_substring_regex(
-            t["text"].combine_chunks(), pattern=f"({TOKEN_PATTERN})",
-            replacement="\x00\\1\x00")
-        toks = pc.split_pattern(wrapped, "\x00")
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks).to_numpy()
-        keep_arr = pc.and_(
-            pc.not_equal(pc.utf8_length(flat), pa.scalar(0)),
-            pc.match_substring_regex(flat, f"^(?:{TOKEN_PATTERN})$"),
-        )
-        keep = keep_arr.to_numpy(zero_copy_only=False)  # drop inter-match spans
-        parent = parent[keep]
-        # 0-based position among kept tokens of the same doc (parents are
-        # contiguous after flatten, so a segmented cumcount suffices)
-        pos = np.arange(parent.size, dtype=np.int64)
-        if parent.size:
-            starts = np.flatnonzero(np.r_[True, np.diff(parent) != 0])
-            pos = pos - np.repeat(pos[starts], np.diff(np.r_[starts, parent.size]))
-        doc_ids = t["doc_id"].combine_chunks().to_numpy()[parent]
-        return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "tok_idx": pa.array(pos, pa.int64()),
-            "token": flat.filter(keep_arr),
-        })
-
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(_explode_tokens, batch_format="pyarrow")
 
 
 Q_DOC_TOKENS_SQL = f"""
@@ -1174,4 +1177,174 @@ SELECT t.doc_id,
        count(*) AS n_terms
 FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id), stats s
 GROUP BY t.doc_id
+"""
+
+
+# ---- C4-style cross-corpus line-level dedup ---------------------------------
+# The reference dedups whole payloads by content equality (run.py:29-51
+# are_images_identical); the corpus-scale text analog is C4/RefinedWeb line
+# dedup: drop every LINE that occurs more than once across the corpus, then
+# reassemble each document from its surviving lines in order.  The driver's
+# documents table has no newlines, so "lines" are deterministic 8-token
+# windows (same reshaping in the SQL twin) — the dedup semantics are the
+# real operator either way.
+
+TOKENS_PER_LINE = 8
+
+
+def _lines_batch(t: pa.Table) -> pa.Table:
+    """One batch of documents → (doc_id, line_no, line) rows, vectorized:
+    token explode, then consecutive TOKENS_PER_LINE tokens of one doc are
+    space-joined via a ListArray reslice + binary_join (no Python row loop)."""
+    ex = _explode_tokens(t)
+    doc_ids = ex["doc_id"].to_numpy()
+    if doc_ids.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "line_no": pa.array([], pa.int64()),
+                         "line": pa.array([], pa.string())})
+    line_no = ex["tok_idx"].to_numpy() // TOKENS_PER_LINE
+    change = np.r_[True, (doc_ids[1:] != doc_ids[:-1])
+                   | (line_no[1:] != line_no[:-1])]
+    starts = np.flatnonzero(change)
+    offsets = np.r_[starts, doc_ids.size].astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                     ex["token"].combine_chunks())
+    return pa.table({
+        "doc_id": pa.array(doc_ids[starts], pa.int64()),
+        "line_no": pa.array(line_no[starts], pa.int64()),
+        "line": pc.binary_join(lists, " "),
+    })
+
+
+def q_doc_line_dedup(sf_dir: str) -> rd.Dataset:
+    """Drop every line occurring >1 time corpus-wide; reassemble documents.
+
+    Distributed plan (the 100-TB shape):
+    - line construction is shuffle-free (per-batch, docs never split);
+    - the occurrence count groupby and the count join both key on the
+      128-bit blake2b line hash (two int64 cols), NOT the line string, so
+      only (hash, id) columns travel the two all-to-all exchanges;
+    - reassembly reuses the conversation-merge shard trick: hash-shard on
+      doc_id + one vectorized pandas ordered-concat per shard (per-doc
+      map_groups would pay Ray's per-group overhead once per document).
+    Docs whose every line is duplicated vanish (C4 semantics).
+    """
+    from ..stages.dedup import _HASH_KEYS, add_content_hash
+    from .relational import _join_partitions, _shard_by_int
+
+    lines = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _lines_batch, batch_format="pyarrow")
+    hashed = lines.map_batches(
+        lambda t: add_content_hash(t, "line"), batch_format="pyarrow")
+    counts = (hashed.select_columns(_HASH_KEYS)
+              .groupby(_HASH_KEYS).aggregate(Count(alias_name="n_copies")))
+    joined = hashed.join(counts, join_type="inner",
+                         num_partitions=_join_partitions(), on=tuple(_HASH_KEYS))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["n_copies"], pa.scalar(1)))
+        return t.select(["doc_id", "line_no", "line"])
+
+    surv = joined.map_batches(survivors, batch_format="pyarrow")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "line_no"], kind="mergesort")
+        agg = g.groupby("doc_id", sort=False)["line"].agg(
+            clean_text=" ".join, n_lines="size")
+        agg["n_lines"] = agg["n_lines"].astype(np.int64)
+        return agg.reset_index()
+
+    return _shard_by_int(surv, "doc_id").groupby("shard").map_groups(
+        reassemble, batch_format="pandas")
+
+
+Q_DOC_LINE_DEDUP_SQL = f"""
+WITH toks AS ({Q_DOC_TOKENS_SQL}),
+lines AS (SELECT doc_id, tok_idx // {TOKENS_PER_LINE} AS line_no,
+                 string_agg(token, ' ' ORDER BY tok_idx) AS line
+          FROM toks GROUP BY doc_id, tok_idx // {TOKENS_PER_LINE}),
+cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line)
+SELECT l.doc_id,
+       string_agg(l.line, ' ' ORDER BY l.line_no) AS clean_text,
+       count(*) AS n_lines
+FROM lines l JOIN cnt USING (line)
+WHERE cnt.c = 1
+GROUP BY l.doc_id
+"""
+
+
+# ---- bigram-LM quality score (CCNet-style perplexity proxy) -----------------
+
+def _bigrams_batch(t: pa.Table) -> pa.Table:
+    """One batch of documents → (doc_id, prev, cur) adjacent-token pairs
+    (pairs never cross documents; vectorized slice of the explode output)."""
+    ex = _explode_tokens(t)
+    doc_ids = ex["doc_id"].to_numpy()
+    if doc_ids.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "prev": pa.array([], pa.string()),
+                         "cur": pa.array([], pa.string())})
+    same_doc = doc_ids[1:] == doc_ids[:-1]
+    toks = ex["token"].combine_chunks()
+    mask = pa.array(same_doc)
+    return pa.table({
+        "doc_id": pa.array(doc_ids[:-1][same_doc], pa.int64()),
+        "prev": toks.slice(0, len(toks) - 1).filter(mask),
+        "cur": toks.slice(1).filter(mask),
+    })
+
+
+def q_doc_bigram_lm(sf_dir: str) -> rd.Dataset:
+    """Average negative log-likelihood of each document under a bigram LM
+    trained on the corpus itself (the CCNet/Wikipedia-LM quality-filter
+    shape, with corpus-self counts instead of an external KenLM): for each
+    adjacent pair, logp = ln(count(prev,cur) / count(prev as bigram head));
+    score = -mean(logp).  High avg_nll = surprising token sequences.
+
+    Distributed plan: bigram construction is shuffle-free; the two count
+    groupbys and the two count joins key on the (short) token strings —
+    vocabulary-sized tables, tiny next to the pair stream; the final
+    per-doc reduce is a combining groupby Sum/Count."""
+    from .relational import _join_partitions
+
+    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bigrams_batch, batch_format="pyarrow")
+    c2 = pairs.groupby(["prev", "cur"]).aggregate(Count(alias_name="c2"))
+    c1 = (pairs.select_columns(["prev"])
+          .groupby("prev").aggregate(Count(alias_name="c1")))
+    n_parts = _join_partitions()
+    scored = (pairs.join(c2, join_type="inner", num_partitions=n_parts,
+                         on=("prev", "cur"))
+              .join(c1, join_type="inner", num_partitions=n_parts,
+                    on=("prev",)))
+
+    def logp(t: pa.Table) -> pa.Table:
+        lp = np.log(t["c2"].to_numpy().astype(np.float64)
+                    / t["c1"].to_numpy().astype(np.float64))
+        return pa.table({"doc_id": t["doc_id"], "lp": pa.array(lp)})
+
+    agg = scored.map_batches(logp, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("lp", alias_name="sum_lp"),
+                                     Count(alias_name="n_bigrams"))
+
+    def final(t: pa.Table) -> pa.Table:
+        nll = -t["sum_lp"].to_numpy() / t["n_bigrams"].to_numpy()
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bigrams": pc.cast(t["n_bigrams"], pa.int64()),
+                         "avg_nll": pa.array(nll, pa.float64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+Q_DOC_BIGRAM_LM_SQL = f"""
+WITH toks AS ({Q_DOC_TOKENS_SQL}),
+big AS (SELECT a.doc_id, a.token AS prev, b.token AS cur
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.tok_idx = a.tok_idx + 1),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM big GROUP BY prev, cur),
+c1 AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev)
+SELECT doc_id, count(*) AS n_bigrams,
+       -sum(ln(c2 * 1.0 / c1)) / count(*) AS avg_nll
+FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+GROUP BY doc_id
 """

@@ -307,3 +307,51 @@ def test_bm25_matches_scalar_replica(ray_session, tmp_path):
     assert set(out.index) == set(want)
     for d in want:
         assert abs(out[d] - want[d]) < 1e-9, d
+
+
+def test_trailing_hour_equal_ts_peers_and_user_walls():
+    """RANGE-frame semantics: equal-ts peers are BOTH in each other's frame
+    (value-based edge, unlike a ROWS frame) and frames never cross users."""
+    import numpy as np
+    import pandas as pd
+
+    from manga_ocr_ray.pipelines.analytic import _trailing_hour_shard
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    g = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id":  [7, 7, 7, 7, 9],
+        # u7: two equal-ts peers, one event exactly 1h later (inclusive edge),
+        # one 2h later (out of frame); u9 shares ts with u7's first pair.
+        "ts": [t0, t0, t0 + h, t0 + 2 * h, t0],
+        "value": [1.00, 2.00, 4.00, 8.00, 16.00],
+    })
+    out = _trailing_hour_shard(g).set_index("event_id")
+    assert out.loc[1, "n_1h"] == 2 and out.loc[2, "n_1h"] == 2  # peers see each other
+    assert out.loc[1, "sum_1h"] == 3.00
+    assert out.loc[3, "n_1h"] == 3 and out.loc[3, "sum_1h"] == 7.00  # 1h edge inclusive
+    assert out.loc[4, "n_1h"] == 2 and out.loc[4, "sum_1h"] == 12.00
+    assert out.loc[5, "n_1h"] == 1 and out.loc[5, "sum_1h"] == 16.00  # user wall
+    assert out["n_1h"].dtype == np.int64
+
+
+def test_line_dedup_drops_cross_doc_and_within_doc_dups(ray_session):
+    """C4 semantics on a hand corpus: a line occurring in two docs is dropped
+    from both; a line occurring twice in ONE doc is dropped too; a doc whose
+    every line is duplicated vanishes."""
+    import pyarrow as pa
+
+    from manga_ocr_ray.pipelines.documents import TOKENS_PER_LINE, _lines_batch
+
+    w = " ".join(["tok%d" % i for i in range(TOKENS_PER_LINE)])  # line A
+    u = " ".join(["unq%d" % i for i in range(TOKENS_PER_LINE)])  # line B
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": [w + " " + u,      # doc1: A + B
+                           w + " " + w,      # doc2: A + A (within-doc dup)
+                           w]})              # doc3: A only → vanishes
+    lines = _lines_batch(t).to_pandas()
+    assert len(lines) == 5
+    counts = lines.groupby("line").size()
+    survivors = lines[lines["line"].map(counts) == 1]
+    assert survivors["doc_id"].tolist() == [1] and survivors["line"].tolist() == [u]

@@ -99,3 +99,13 @@ def test_round3_wave3_rowcounts(entrymod, con):
         want = con.sql(entrymod.oracle_sql()[name]).df()
         assert len(got) == len(want), name
         assert sorted(got.columns) == sorted(want.columns), name
+
+
+def test_round3_wave4_rowcounts(entrymod, con):
+    for name in ["doc_line_dedup", "doc_bigram_lm", "events_trailing_hour",
+                 "events_user_mode"]:
+        got = entrymod.queries()[name](SF_DIR)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(entrymod.oracle_sql()[name]).df()
+        assert len(got) == len(want), name
+        assert sorted(got.columns) == sorted(want.columns), name
