@@ -746,6 +746,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": D.q_doc_bigram_lm,
         "events_trailing_hour": A.q_events_trailing_hour,
         "events_user_mode": A.q_events_user_mode,
+        "doc_pii_scrub": D.q_doc_pii_scrub,
+        "doc_char_entropy": D.q_doc_char_entropy,
+        "doc_pmi_pairs": D.q_doc_pmi_pairs,
+        "nation_balance_fullouter": A.q_nation_balance_fullouter,
         "orders_ntile": A.q_orders_ntile,
         "lineitem_corr": A.q_lineitem_corr,
         "nations_intersect": A.q_nations_intersect,
@@ -786,6 +790,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_lm": D.Q_DOC_BIGRAM_LM_SQL,
         "events_trailing_hour": A.Q_EVENTS_TRAILING_HOUR_SQL,
         "events_user_mode": A.Q_EVENTS_USER_MODE_SQL,
+        "doc_pii_scrub": D.Q_DOC_PII_SCRUB_SQL,
+        "doc_char_entropy": D.Q_DOC_CHAR_ENTROPY_SQL,
+        "doc_pmi_pairs": D.Q_DOC_PMI_PAIRS_SQL,
+        "nation_balance_fullouter": A.Q_NATION_BALANCE_FULLOUTER_SQL,
         "orders_ntile": A.Q_ORDERS_NTILE_SQL,
         "lineitem_corr": A.Q_LINEITEM_CORR_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,

@@ -911,3 +911,54 @@ r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY n DESC, event_type) AS rk FROM c)
 SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1
 """
+
+
+# ---- FULL OUTER join with null fill (nation coverage balance) ----------------
+
+def q_nation_balance_fullouter(sf_dir: str) -> rd.Dataset:
+    """Per nation: count of rich customers (acctbal > 9500) FULL OUTER JOIN
+    count of rich suppliers (acctbal > 6000), zero-filled — the outer-join
+    + COALESCE shape, driver-visible (extract.py's golden verification uses
+    full_outer internally; this is the relational-surface twin).  Both
+    sides pre-aggregate to nation cardinality before the join, so the
+    exchange is 25 rows regardless of corpus size."""
+    cust = (rd.read_parquet(_pq(sf_dir, "customer"),
+                            columns=["c_nationkey", "c_acctbal"])
+            .filter(expr="c_acctbal > 9500")
+            .groupby("c_nationkey").aggregate(Count(alias_name="rich_custs")))
+    supp = (rd.read_parquet(_pq(sf_dir, "supplier"),
+                            columns=["s_nationkey", "s_acctbal"])
+            .filter(expr="s_acctbal > 6000")
+            .groupby("s_nationkey").aggregate(Count(alias_name="rich_supps")))
+
+    def key_c(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["nationkey", "rich_custs"])
+
+    def key_s(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["nationkey", "rich_supps"])
+
+    left = cust.map_batches(key_c, batch_format="pyarrow")
+    right = supp.map_batches(key_s, batch_format="pyarrow")
+    out = left.join(right, join_type="full_outer", num_partitions=4,
+                    on=("nationkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": pc.cast(t["nationkey"], pa.int64()),
+            "rich_custs": pc.cast(t["rich_custs"].fill_null(0), pa.int64()),
+            "rich_supps": pc.cast(t["rich_supps"].fill_null(0), pa.int64()),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+Q_NATION_BALANCE_FULLOUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS rich_custs
+           FROM customer WHERE c_acctbal > 9500 GROUP BY c_nationkey),
+s AS (SELECT s_nationkey AS nationkey, count(*) AS rich_supps
+      FROM supplier WHERE s_acctbal > 6000 GROUP BY s_nationkey)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(rich_custs, 0) AS rich_custs,
+       COALESCE(rich_supps, 0) AS rich_supps
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""

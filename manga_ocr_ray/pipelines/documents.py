@@ -1348,3 +1348,168 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
 GROUP BY doc_id
 """
+
+
+# ---- PII scrub (per-doc injected phone / IPv4 / card, then redact) ----------
+# Same design as doc_scrub_urls: the documents table has no PII, so the
+# query INJECTS deterministic per-doc PII (derived from doc_id — every doc
+# differs, unlike the fixed _SCRUB_TAIL) with the identical concat on the
+# SQL side, then the scrubber kernels are genuinely exercised.
+
+_CARD_PAT = r"\b(?:\d{4}-){3}\d{4}\b"
+_PHONE_PAT = r"\b\d{3}-\d{3}-\d{4}\b"
+_IPV4_PAT = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def q_doc_pii_scrub(sf_dir: str) -> rd.Dataset:
+    """Redact card→phone→IP in that order (card first: its grouped digits
+    contain phone-shaped substrings that \\b alone would not protect once
+    the card text is partially rewritten)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks().to_numpy()  # no pc modulo kernel
+        phone = pc.binary_join_element_wise(
+            pa.array(["call 415-555-"] * len(t)),
+            pc.utf8_lpad(pa.array((did % 10000).astype(str)), 4, "0"), "")
+        ip = pc.binary_join_element_wise(
+            pa.array(["from 10.0."] * len(t)),
+            pa.array((did % 256).astype(str)), ".",
+            pa.array((did * 7 % 256).astype(str)), "")
+        text = pc.binary_join_element_wise(
+            t["text"].combine_chunks(), phone, ip,
+            pa.array(["card 4111-1111-1111-1111 done"] * len(t)), " ")
+        n_pii = pc.add(
+            pc.add(pc.count_substring_regex(text, pattern=_CARD_PAT),
+                   pc.count_substring_regex(text, pattern=_PHONE_PAT)),
+            pc.count_substring_regex(text, pattern=_IPV4_PAT))
+        out = pc.replace_substring_regex(text, pattern=_CARD_PAT,
+                                         replacement="<CARD>")
+        out = pc.replace_substring_regex(out, pattern=_PHONE_PAT,
+                                         replacement="<PHONE>")
+        out = pc.replace_substring_regex(out, pattern=_IPV4_PAT,
+                                         replacement="<IP>")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_pii": pc.cast(n_pii, pa.int64()),
+                         "scrubbed": out})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+Q_DOC_PII_SCRUB_SQL = rf"""
+WITH w AS (SELECT doc_id,
+                  text || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                       || ' card 4111-1111-1111-1111 done' AS text
+           FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_CARD_PAT}'))
+         + len(regexp_extract_all(text, '{_PHONE_PAT}'))
+         + len(regexp_extract_all(text, '{_IPV4_PAT}')) AS n_pii,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_CARD_PAT}', '<CARD>', 'g'),
+           '{_PHONE_PAT}', '<PHONE>', 'g'),
+           '{_IPV4_PAT}', '<IP>', 'g') AS scrubbed
+FROM w
+"""
+
+
+# ---- per-doc character entropy (gibberish / low-diversity signal) -----------
+
+def q_doc_char_entropy(sf_dir: str) -> rd.Dataset:
+    """Shannon entropy (nats) of each document's character distribution —
+    the cheap gibberish/repetition quality signal.  Fully vectorized: the
+    batch's texts decode into ONE uint32 codepoint array (the normalize-
+    kernel trick), per-(doc, char) counts come from a single ``np.unique``
+    over packed (doc_ix << 21 | codepoint) keys, and per-doc sums from one
+    ``np.add.at`` — no shuffle at all (one output row per input row)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks().fill_null("")
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        cp = np.frombuffer("".join(texts.to_pylist()).encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        doc_ix = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        uniq, counts = np.unique((doc_ix << 21) | cp, return_counts=True)
+        udoc = (uniq >> 21)
+        p = counts / lens[udoc]
+        entropy = np.zeros(lens.size, np.float64)
+        np.add.at(entropy, udoc, -p * np.log(p))
+        keep = lens > 0  # empty docs have no char rows in the SQL twin
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().filter(pa.array(keep)),
+            "n_chars": pa.array(lens[keep]),
+            "entropy": pa.array(entropy[keep]),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+Q_DOC_CHAR_ENTROPY_SQL = """
+WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY doc_id)
+SELECT cc.doc_id, CAST(max(n.n) AS BIGINT) AS n_chars,
+       -sum((k * 1.0 / n.n) * ln(k * 1.0 / n.n)) AS entropy
+FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id
+"""
+
+
+# ---- PMI collocations (word2vec/phrase-mining shape) -------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def q_doc_pmi_pairs(sf_dir: str) -> rd.Dataset:
+    """Top-20 adjacent-token collocations by pointwise mutual information
+    ln(c_xy·N / (c_head·c_tail)), min pair count 5 — the phrase-mining /
+    word2vec-negative-sampling statistic.  Count tables are vocabulary-
+    sized; the only corpus-sized exchange is the pair groupby; the final
+    sort runs over the ≥min_count survivors only."""
+    from .relational import _join_partitions
+
+    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bigrams_batch, batch_format="pyarrow").drop_columns(["doc_id"])
+    c2 = pairs.groupby(["prev", "cur"]).aggregate(Count(alias_name="c2"))
+    heads = pairs.select_columns(["prev"]).groupby("prev").aggregate(
+        Count(alias_name="ch"))
+    tails = pairs.select_columns(["cur"]).groupby("cur").aggregate(
+        Count(alias_name="ct"))
+    c2 = c2.filter(expr=f"c2 >= {PMI_MIN_COUNT}").materialize()
+    n_pairs = int(heads.sum("ch"))
+    n_parts = _join_partitions()
+    joined = (c2.join(heads, join_type="inner", num_partitions=n_parts,
+                      on=("prev",))
+              .join(tails, join_type="inner", num_partitions=n_parts,
+                    on=("cur",)))
+
+    def pmi(t: pa.Table) -> pa.Table:
+        c2v = t["c2"].to_numpy()
+        ratio = (c2v * n_pairs).astype(np.float64) \
+            / (t["ch"].to_numpy() * t["ct"].to_numpy()).astype(np.float64)
+        return pa.table({"prev": t["prev"], "cur": t["cur"],
+                         "n_xy": pc.cast(t["c2"], pa.int64()),
+                         "pmi": pa.array(np.log(ratio))})
+
+    return (joined.map_batches(pmi, batch_format="pyarrow")
+            .sort(["pmi", "prev", "cur"], descending=[True, False, False])
+            .limit(PMI_TOP_K))
+
+
+Q_DOC_PMI_PAIRS_SQL = f"""
+WITH toks AS ({Q_DOC_TOKENS_SQL}),
+big AS (SELECT a.doc_id, a.token AS prev, b.token AS cur
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.tok_idx = a.tok_idx + 1),
+c2 AS (SELECT prev, cur, count(*) AS n_xy FROM big GROUP BY prev, cur
+       HAVING count(*) >= {PMI_MIN_COUNT}),
+heads AS (SELECT prev, count(*) AS ch FROM big GROUP BY prev),
+tails AS (SELECT cur, count(*) AS ct FROM big GROUP BY cur),
+n AS (SELECT count(*) AS n FROM big)
+SELECT prev, cur, n_xy, ln(n_xy * n.n / (ch * 1.0 * ct)) AS pmi
+FROM c2 JOIN heads USING (prev) JOIN tails USING (cur), n
+ORDER BY pmi DESC, prev, cur LIMIT {PMI_TOP_K}
+"""

@@ -103,7 +103,8 @@ def test_round3_wave3_rowcounts(entrymod, con):
 
 def test_round3_wave4_rowcounts(entrymod, con):
     for name in ["doc_line_dedup", "doc_bigram_lm", "events_trailing_hour",
-                 "events_user_mode"]:
+                 "events_user_mode", "doc_pii_scrub", "doc_char_entropy",
+                 "doc_pmi_pairs", "nation_balance_fullouter"]:
         got = entrymod.queries()[name](SF_DIR)
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
         want = con.sql(entrymod.oracle_sql()[name]).df()
