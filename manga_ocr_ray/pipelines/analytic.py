@@ -939,7 +939,11 @@ def q_nation_balance_fullouter(sf_dir: str) -> rd.Dataset:
 
     left = cust.map_batches(key_c, batch_format="pyarrow")
     right = supp.map_batches(key_s, batch_format="pyarrow")
-    out = left.join(right, join_type="full_outer", num_partitions=4,
+    # single partition: both sides are ≤25 rows post-aggregate, and a sparse
+    # side (sf0.001 has ONE rich-supplier nation) leaves >1 hash partitions
+    # empty, which wedges Acero's full-outer finalize (KeyError on the key —
+    # the same empty-partition wedge the bloom/skew joins guard against)
+    out = left.join(right, join_type="full_outer", num_partitions=1,
                     on=("nationkey",))
 
     def fill(t: pa.Table) -> pa.Table:
