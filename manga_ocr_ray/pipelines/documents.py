@@ -1513,3 +1513,93 @@ SELECT prev, cur, n_xy, ln(n_xy * n.n / (ch * 1.0 * ct)) AS pmi
 FROM c2 JOIN heads USING (prev) JOIN tails USING (cur), n
 ORDER BY pmi DESC, prev, cur LIMIT {PMI_TOP_K}
 """
+
+
+# ---- fuzzy string self-join (FastSS deletion neighborhoods) ------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def _deletion_neighborhood(tok: str, k: int = FUZZY_MAX_DIST) -> set[str]:
+    """All strings reachable by deleting ≤ k characters (incl. tok itself).
+    FastSS (Bocek et al. 2007): lev(a, b) ≤ k  ⟺  the k-deletion
+    neighborhoods of a and b intersect — candidates are a guaranteed
+    superset, the exact verify restores precision."""
+    out, frontier = {tok}, {tok}
+    for _ in range(k):
+        frontier = {s[:i] + s[i + 1:] for s in frontier for i in range(len(s))}
+        out |= frontier
+    return out
+
+
+def q_doc_fuzzy_token_join(sf_dir: str) -> rd.Dataset:
+    """Vocabulary pairs within edit distance ≤ 2 (typo/variant detection —
+    the data-cleaning fuzzy self-join).
+
+    Distributed plan: the corpus-sized exchange is only the vocabulary
+    groupby; everything after runs at VOCAB scale.  Deletion variants
+    explode per vocab batch (loops here iterate the vocabulary, not the
+    corpus), candidate pairs form inside hash-sharded variant buckets,
+    duplicates collapse in one combining groupby, and the exact
+    byte-Levenshtein verify (DuckDB-equal: functions/metrics.py
+    edit_distance) runs once per distinct candidate pair."""
+    from ..functions.hashing import hash64_array
+    from ..functions.metrics import edit_distance
+
+    vocab = (q_doc_tokens(sf_dir).select_columns(["token"])
+             .groupby("token").aggregate(Count(alias_name="n"))
+             .drop_columns(["n"]))
+
+    def variants(t: pa.Table) -> pa.Table:
+        toks, vs = [], []
+        for tok in t["token"].to_pylist():
+            for v in _deletion_neighborhood(tok):
+                toks.append(tok)
+                vs.append(v)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "variant": pa.array(vs, pa.string())})
+
+    ex = vocab.map_batches(variants, batch_format="pyarrow")
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = hash64_array(t["variant"].combine_chunks())
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for _, grp in g.groupby("variant", sort=False):
+            ts = sorted(set(grp["token"]))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    out_a.append(ts[i])
+                    out_b.append(ts[j])
+        return pd.DataFrame({"tok_a": out_a, "tok_b": out_b})
+
+    cand = (ex.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(pairs_in_shard, batch_format="pandas")
+            .groupby(["tok_a", "tok_b"]).aggregate(Count(alias_name="nbuckets"))
+            .drop_columns(["nbuckets"]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["tok_a"].to_pylist()
+        b = t["tok_b"].to_pylist()
+        d = np.fromiter((edit_distance(x, y, unit="byte") for x, y in zip(a, b)),
+                        dtype=np.int64, count=len(a))
+        keep = d <= FUZZY_MAX_DIST
+        return pa.table({"tok_a": pa.array(a, pa.string()).filter(pa.array(keep)),
+                         "tok_b": pa.array(b, pa.string()).filter(pa.array(keep)),
+                         "dist": pa.array(d[keep])})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+Q_DOC_FUZZY_TOKEN_JOIN_SQL = f"""
+WITH toks AS (SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS t
+              FROM documents),
+v AS (SELECT DISTINCT t FROM toks)
+SELECT a.t AS tok_a, b.t AS tok_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= {FUZZY_MAX_DIST}
+"""

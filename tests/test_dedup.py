@@ -212,3 +212,17 @@ def test_repeated_spans_detects_planted_overlap(ray_session, tmp_path, monkeypat
     assert out["span_tokens"].tolist() == [6, 6]
     assert out.loc[0, "span_start"] == 3   # after 'unique one two'
     assert out.loc[1, "span_start"] == 2   # after 'other words'
+
+
+def test_fastss_deletion_neighborhood_guarantee():
+    """FastSS recall property: lev(a,b) <= k implies the k-deletion
+    neighborhoods intersect (candidates are a guaranteed superset)."""
+    from manga_ocr_ray.functions.metrics import edit_distance
+    from manga_ocr_ray.pipelines.documents import _deletion_neighborhood
+
+    words = ["spark", "spork", "sprk", "park", "stark", "sparkle", "scan",
+             "span", "agg", "big", "bag", "", "a", "ab"]
+    for i, a in enumerate(words):
+        for b in words[i + 1:]:
+            if edit_distance(a, b, unit="byte") <= 2:
+                assert _deletion_neighborhood(a) & _deletion_neighborhood(b), (a, b)

@@ -110,3 +110,12 @@ def test_round3_wave4_rowcounts(entrymod, con):
         want = con.sql(entrymod.oracle_sql()[name]).df()
         assert len(got) == len(want), name
         assert sorted(got.columns) == sorted(want.columns), name
+
+
+def test_round3_wave5_rowcounts(entrymod, con):
+    for name in ["doc_fuzzy_token_join"]:
+        got = entrymod.queries()[name](SF_DIR)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(entrymod.oracle_sql()[name]).df()
+        assert len(got) == len(want), name
+        assert sorted(got.columns) == sorted(want.columns), name
