@@ -751,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi_pairs": D.q_doc_pmi_pairs,
         "nation_balance_fullouter": A.q_nation_balance_fullouter,
         "doc_fuzzy_token_join": D.q_doc_fuzzy_token_join,
+        "doc_temperature_sample": D.q_doc_temperature_sample,
         "orders_ntile": A.q_orders_ntile,
         "lineitem_corr": A.q_lineitem_corr,
         "nations_intersect": A.q_nations_intersect,
@@ -796,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pmi_pairs": D.Q_DOC_PMI_PAIRS_SQL,
         "nation_balance_fullouter": A.Q_NATION_BALANCE_FULLOUTER_SQL,
         "doc_fuzzy_token_join": D.Q_DOC_FUZZY_TOKEN_JOIN_SQL,
+        "doc_temperature_sample": D.Q_DOC_TEMPERATURE_SAMPLE_SQL,
         "orders_ntile": A.Q_ORDERS_NTILE_SQL,
         "lineitem_corr": A.Q_LINEITEM_CORR_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,

@@ -1603,3 +1603,64 @@ SELECT a.t AS tok_a, b.t AS tok_b,
        CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
 FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= {FUZZY_MAX_DIST}
 """
+
+
+# ---- temperature source mixing (multinomial α-sampling, T5/LLaMA shape) ------
+
+_TMIX_SALT = "tmix"
+
+
+def q_doc_temperature_sample(sf_dir: str) -> rd.Dataset:
+    """Rebalance the per-language mix toward p_s ∝ count_l^α with α = 0.5 —
+    the multinomial temperature sampling used to up-weight small languages/sources in
+    LLM training mixes.  Keep rate r_l = sqrt(c_min / c_l) (smallest language
+    keeps everything; expected kept count ∝ sqrt(c_l)), gated per row by the
+    same deterministic md5 hash gate as q_doc_stratified_sample.
+
+    α is fixed at 0.5 ON PURPOSE: the rate is then one IEEE-exact division
+    + one IEEE-exact sqrt, so numpy and DuckDB compute bit-identical
+    thresholds (a general pow(c, α−1) can differ by 1 ulp between libms and
+    flip a boundary row).  Scale: language counts are a tiny combining
+    groupby; rates broadcast into the gate closure; the filter is map-side
+    — no corpus-sized shuffle at all."""
+    import hashlib
+
+    counts = (_docs(sf_dir, ["lang"]).groupby("lang")
+              .aggregate(Count(alias_name="c")).to_pandas())
+    cmin = int(counts["c"].min())
+    # floor(rate * 2^60): 60-bit threshold == 15 hex chars of the md5 gate
+    thr_by_lang = {
+        s: (1 << 60) if c <= cmin
+        else int(np.sqrt(cmin * 1.0 / c) * (1 << 60))
+        for s, c in zip(counts["lang"], counts["c"])
+    }
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        srcs = t["lang"].combine_chunks().to_pylist()
+        thr = np.fromiter((thr_by_lang.get(s, 1 << 60) for s in srcs),
+                          dtype=np.uint64, count=len(srcs))
+        hs = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{i}{_TMIX_SALT}".encode()).digest()[:8],
+                "big") >> 4 for i in ids),
+            dtype=np.uint64, count=len(ids))
+        return t.filter(pa.array(hs < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+Q_DOC_TEMPERATURE_SAMPLE_SQL = f"""
+WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS cmin FROM c),
+t AS (SELECT lang,
+             CASE WHEN c.c <= m.cmin THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(floor(sqrt(m.cmin * 1.0 / c.c)
+                                              * 1152921504606846976) AS BIGINT))),
+                            15, '0') END AS thr
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN t USING (lang)
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '{_TMIX_SALT}'), 1, 15) < t.thr
+"""
