@@ -966,3 +966,57 @@ SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
        COALESCE(rich_supps, 0) AS rich_supps
 FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
+
+
+# ---- calendar gap fill (dense time axis + zero-filled left join) --------------
+
+def q_events_hourly_dense(sf_dir: str) -> rd.Dataset:
+    """Hourly event counts over a DENSE calendar axis — hours with no events
+    appear as zero rows (the time-series gap-fill / dimension-generation
+    shape; the sparse twin is events_hourly).
+
+    Distribution: the corpus-sized work is one combining groupby to hourly
+    counts; the dense axis is GENERATED as a Dataset (``rd.range`` over the
+    hour span — never a driver-side list), keyed on epoch-hour int64, and
+    left-joins the counts.  The only driver-side values are the min/max
+    hour scalars."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+
+    def to_hour(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        return pa.table({"hour_us": h})
+
+    hours = ds.map_batches(to_hour, batch_format="pyarrow")
+    counts = hours.groupby("hour_us").aggregate(Count(alias_name="n_events"))
+    counts = counts.materialize()
+    HOUR_US = 3_600_000_000
+    h0 = int(counts.min("hour_us")) // HOUR_US
+    h1 = int(counts.max("hour_us")) // HOUR_US
+
+    def to_axis(t: pa.Table) -> pa.Table:
+        ids = t["id"].combine_chunks().to_numpy()
+        return pa.table({"hour_us": pa.array((ids + h0) * HOUR_US, pa.int64())})
+
+    axis = rd.range(h1 - h0 + 1).map_batches(to_axis, batch_format="pyarrow")
+    out = axis.join(counts, join_type="left_outer", num_partitions=2,
+                    on=("hour_us",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.cast(t["hour_us"], pa.timestamp("us")),
+            "n_events": pc.cast(t["n_events"].fill_null(0), pa.int64()),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+Q_EVENTS_HOURLY_DENSE_SQL = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+                  date_trunc('hour', max(ts)) AS t1 FROM events),
+axis AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS window_start
+         FROM b),
+c AS (SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events
+      FROM events GROUP BY 1)
+SELECT a.window_start, COALESCE(c.n_events, 0) AS n_events
+FROM axis a LEFT JOIN c USING (window_start)
+"""
