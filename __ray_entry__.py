@@ -753,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fuzzy_token_join": D.q_doc_fuzzy_token_join,
         "doc_temperature_sample": D.q_doc_temperature_sample,
         "events_hourly_dense": A.q_events_hourly_dense,
+        "doc_token_pagerank": D.q_doc_token_pagerank,
         "orders_ntile": A.q_orders_ntile,
         "lineitem_corr": A.q_lineitem_corr,
         "nations_intersect": A.q_nations_intersect,
@@ -800,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fuzzy_token_join": D.Q_DOC_FUZZY_TOKEN_JOIN_SQL,
         "doc_temperature_sample": D.Q_DOC_TEMPERATURE_SAMPLE_SQL,
         "events_hourly_dense": A.Q_EVENTS_HOURLY_DENSE_SQL,
+        "doc_token_pagerank": D.q_doc_token_pagerank_sql(),
         "orders_ntile": A.Q_ORDERS_NTILE_SQL,
         "lineitem_corr": A.Q_LINEITEM_CORR_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,

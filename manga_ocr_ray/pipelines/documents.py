@@ -1664,3 +1664,91 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN t USING (lang)
 WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '{_TMIX_SALT}'), 1, 15) < t.thr
 """
+
+
+# ---- PageRank over the token co-occurrence graph (iterative Dataset algo) ----
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def q_doc_token_pagerank(sf_dir: str) -> rd.Dataset:
+    """PageRank (damping 0.85, 3 unrolled power iterations) over the
+    directed bigram graph: nodes = vocabulary, edge prev→cur weighted by
+    bigram count, out-normalized.  The iterative-Dataset-algorithm shape:
+    every iteration is one hash join (edges ⋈ ranks on the src key) + one
+    combining groupby (incoming mass per dst) + one zero-filled left join
+    back onto the node set — rank state lives in a Dataset, never on the
+    driver, so the same plan runs at a 10^9-node graph.  Dangling nodes
+    (no out-edges) leak their mass, identically on both sides; join
+    partitions = 1 because every table here is vocabulary-sized (the
+    empty-partition wedge guard; scale up with the vocabulary)."""
+    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bigrams_batch, batch_format="pyarrow").drop_columns(["doc_id"])
+    edges = pairs.groupby(["prev", "cur"]).aggregate(Count(alias_name="w"))
+    outw = (pairs.select_columns(["prev"]).groupby("prev")
+            .aggregate(Count(alias_name="ow")))
+    edges = edges.join(outw, join_type="inner", num_partitions=1, on=("prev",))
+
+    def norm(t: pa.Table) -> pa.Table:
+        wn = t["w"].to_numpy() * 1.0 / t["ow"].to_numpy()
+        return pa.table({"prev": t["prev"], "cur": t["cur"],
+                         "wn": pa.array(wn, pa.float64())})
+
+    edges = edges.map_batches(norm, batch_format="pyarrow").materialize()
+    nodes = (q_doc_tokens(sf_dir).select_columns(["token"])
+             .groupby("token").aggregate(Count(alias_name="_n"))
+             .drop_columns(["_n"]).materialize())
+    n_nodes = nodes.count()
+    base = (1.0 - PR_DAMPING) / n_nodes
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t["token"],
+                         "rank": pa.array(np.full(len(t), 1.0 / n_nodes))})
+
+    rank = nodes.map_batches(init, batch_format="pyarrow")
+    for _ in range(PR_ITERS):
+        contrib = edges.join(rank, join_type="inner", num_partitions=1,
+                             on=("prev",), right_on=("token",))
+
+        def mass(t: pa.Table) -> pa.Table:
+            m = t["wn"].to_numpy() * t["rank"].to_numpy()
+            return pa.table({"cur": t["cur"], "m": pa.array(m)})
+
+        summed = (contrib.map_batches(mass, batch_format="pyarrow")
+                  .groupby("cur").aggregate(Sum("m", alias_name="m")))
+        joined = nodes.join(summed, join_type="left_outer", num_partitions=1,
+                            on=("token",), right_on=("cur",))
+
+        def update(t: pa.Table) -> pa.Table:
+            m = t["m"].fill_null(0.0).to_numpy(zero_copy_only=False)
+            return pa.table({"token": t["token"],
+                             "rank": pa.array(base + PR_DAMPING * m)})
+
+        rank = joined.map_batches(update, batch_format="pyarrow").materialize()
+    return rank
+
+
+def q_doc_token_pagerank_sql() -> str:
+    d, it = PR_DAMPING, PR_ITERS
+    sql = f"""
+WITH toks AS ({Q_DOC_TOKENS_SQL}),
+big AS (SELECT a.token AS prev, b.token AS cur
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok_idx = a.tok_idx + 1),
+edges AS (SELECT prev, cur, count(*) AS w FROM big GROUP BY prev, cur),
+outw AS (SELECT prev, sum(w) AS ow FROM edges GROUP BY prev),
+e AS (SELECT prev, cur, w * 1.0 / ow AS wn FROM edges JOIN outw USING (prev)),
+nodes AS (SELECT DISTINCT token AS t FROM toks),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT t, 1.0 / nn.n AS r FROM nodes, nn)"""
+    prev = "r0"
+    for i in range(1, it + 1):
+        sql += f""",
+s{i} AS (SELECT e.cur, sum(e.wn * {prev}.r) AS m
+         FROM e JOIN {prev} ON e.prev = {prev}.t GROUP BY e.cur),
+r{i} AS (SELECT nodes.t,
+                (1.0 - {d}) / nn.n + {d} * COALESCE(s{i}.m, 0.0) AS r
+         FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON s{i}.cur = nodes.t)"""
+        prev = f"r{i}"
+    sql += f"\nSELECT t AS token, r AS rank FROM {prev}"
+    return sql

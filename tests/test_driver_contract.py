@@ -114,7 +114,7 @@ def test_round3_wave4_rowcounts(entrymod, con):
 
 def test_round3_wave5_rowcounts(entrymod, con):
     for name in ["doc_fuzzy_token_join", "doc_temperature_sample",
-                 "events_hourly_dense"]:
+                 "events_hourly_dense", "doc_token_pagerank"]:
         got = entrymod.queries()[name](SF_DIR)
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
         want = con.sql(entrymod.oracle_sql()[name]).df()
