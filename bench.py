@@ -142,6 +142,9 @@ def run_queries() -> dict[str, float]:
         "q17_avg_yearly", "lineitem_bloom_semi",
         "doc_inverted_index", "events_cohort_retention",
         "doc_repeated_spans",
+        # round-3 late-wave families
+        "doc_line_dedup", "doc_bigram_lm", "events_trailing_hour",
+        "doc_token_pagerank",
     ]
     out: dict[str, float] = {}
     for name in chosen:

@@ -1309,10 +1309,14 @@ def q_doc_bigram_lm(sf_dir: str) -> rd.Dataset:
 
     pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _bigrams_batch, batch_format="pyarrow")
-    c2 = pairs.groupby(["prev", "cur"]).aggregate(Count(alias_name="c2"))
+    c2 = pairs.groupby(["prev", "cur"]).aggregate(
+        Count(alias_name="c2")).materialize()
     c1 = (pairs.select_columns(["prev"])
-          .groupby("prev").aggregate(Count(alias_name="c1")))
-    n_parts = _join_partitions()
+          .groupby("prev").aggregate(Count(alias_name="c1"))).materialize()
+    # partitions sized to the (known) key cardinality: an empty hash
+    # partition of a vocabulary-sized side loses its schema inside Acero
+    # and kills the join (the bm25 wedge guard)
+    n_parts = max(1, min(_join_partitions(), c1.count() // 1000))
     scored = (pairs.join(c2, join_type="inner", num_partitions=n_parts,
                          on=("prev", "cur"))
               .join(c1, join_type="inner", num_partitions=n_parts,
