@@ -759,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_intersect": A.q_nations_intersect,
         "parts_dense_rank": A.q_parts_dense_rank,
         "doc_stratified_sample": D.q_doc_stratified_sample,
+        "doc_source_cap": D.q_doc_source_cap,
         "doc_decontaminate": D.q_doc_decontaminate,
         "doc_minhash_keep": D.q_doc_minhash_keep,
         "doc_top_tokens": D.q_doc_top_tokens,
@@ -823,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rarity": D.Q_DOC_RARITY_SQL,
         "doc_tfidf_top_terms": D.q_doc_tfidf_sql(),
         "doc_stratified_sample": D.q_doc_stratified_sample_sql(),
+        "doc_source_cap": D.q_doc_source_cap_sql(),
         "doc_pack_tokens": D.q_doc_pack_tokens_sql(),
         "doc_decontaminate": D.q_doc_decontaminate_sql(),
         "q1_pricing_summary": R.Q1_SQL,

@@ -1756,3 +1756,57 @@ r{i} AS (SELECT nodes.t,
         prev = f"r{i}"
     sql += f"\nSELECT t AS token, r AS rank FROM {prev}"
     return sql
+
+
+# ---- per-source document cap (round 3) -----------------------------------
+
+SOURCE_CAP_K = 15
+_CAP_SALT = ":cap1"
+
+
+def q_doc_source_cap(sf_dir: str) -> rd.Dataset:
+    """At-most-K docs per source — the Gopher/C4-style per-domain cap that
+    stops one crawl host from dominating a training mix.  Selection is a
+    deterministic per-group reservoir: keep the K docs whose
+    ``md5(doc_id || salt)`` hex is smallest (tie-break doc_id), so the
+    choice is reproducible at any cluster size / block layout and mirrors
+    to SQL as a ``row_number() OVER (PARTITION BY source ORDER BY md5..)``.
+
+    Scale shape (sources are HOT keys — a handful of groups over the whole
+    corpus): a naive ``groupby(source).map_groups`` would funnel the full
+    corpus through a few tasks.  Instead each block keeps its own K
+    smallest per source present in the block (combiner), so the exchange
+    carries at most ``K x sources`` rows per block and the final per-group
+    selection handles bounded input regardless of corpus size.  Only
+    (doc_id, source, hkey) ever shuffles.
+    """
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def partial_topk(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["hkey"] = [
+            hashlib.md5(f"{i}{_CAP_SALT}".encode()).hexdigest()
+            for i in df["doc_id"]
+        ]
+        return (df.sort_values(["hkey", "doc_id"])
+                  .groupby("source", sort=False).head(SOURCE_CAP_K))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["hkey", "doc_id"]).head(SOURCE_CAP_K)
+                 [["doc_id", "source"]])
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+              .groupby("source").map_groups(final_topk, batch_format="pandas"))
+
+
+def q_doc_source_cap_sql() -> str:
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_CAP_SALT}'), doc_id) AS rn
+  FROM documents) WHERE rn <= {SOURCE_CAP_K}
+"""
