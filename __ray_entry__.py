@@ -756,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_pagerank": D.q_doc_token_pagerank,
         "orders_ntile": A.q_orders_ntile,
         "lineitem_corr": A.q_lineitem_corr,
+        "events_value_trend": A.q_events_value_trend,
         "nations_intersect": A.q_nations_intersect,
         "parts_dense_rank": A.q_parts_dense_rank,
         "doc_stratified_sample": D.q_doc_stratified_sample,
@@ -805,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_pagerank": D.q_doc_token_pagerank_sql(),
         "orders_ntile": A.Q_ORDERS_NTILE_SQL,
         "lineitem_corr": A.Q_LINEITEM_CORR_SQL,
+        "events_value_trend": A.Q_EVENTS_VALUE_TREND_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,
         "q17_avg_yearly": A.Q17_AVG_YEARLY_SQL,

@@ -1020,3 +1020,68 @@ c AS (SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events
 SELECT a.window_start, COALESCE(c.n_events, 0) AS n_events
 FROM axis a LEFT JOIN c USING (window_start)
 """
+
+
+# ---- per-group OLS regression aggregate (round 3) ------------------------------
+
+_TREND_CX = 19750.0   # epoch-days shift near the corpus midpoint
+_TREND_CY = 50.0      # value shift near the corpus mean
+
+
+def q_events_value_trend(sf_dir: str) -> rd.Dataset:
+    """Per-event-type least-squares trend of ``value`` over time
+    (``regr_slope`` / ``regr_intercept`` semantics, x = epoch days).
+
+    ONE-PASS distributable regression: each batch emits shifted partial
+    sums (n, sum dx, sum dy, sum dx*dx, sum dx*dy) with dx/dy centered at
+    fixed constants near the data midpoint, then a single combining
+    groupby merges them and the exact shift-correction algebra
+    ``Sxy = sum(dxdy) - sum(dx)*sum(dy)/n`` recovers the centered moments
+    — no second pass, no cancellation (dx spans ~15 days, not 19,750),
+    and only ~groups x blocks partial rows ever shuffle.  Agrees with
+    DuckDB's streaming regr_* to ~1e-10."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dx = us / 86400e6 - _TREND_CX
+        dy = t["value"].to_numpy(zero_copy_only=False) - _TREND_CY
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "n": np.ones(len(dx), dtype=np.int64),
+            "sdx": dx, "sdy": dy, "sdxx": dx * dx, "sdxy": dx * dy,
+        })
+        return df.groupby("event_type", as_index=False).sum()
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sdx", alias_name="sdx"),
+                        Sum("sdy", alias_name="sdy"),
+                        Sum("sdxx", alias_name="sdxx"),
+                        Sum("sdxy", alias_name="sdxy")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy().astype(np.float64)
+        sdx = t["sdx"].combine_chunks().to_numpy()
+        sdy = t["sdy"].combine_chunks().to_numpy()
+        sxx = t["sdxx"].combine_chunks().to_numpy() - sdx * sdx / n
+        sxy = t["sdxy"].combine_chunks().to_numpy() - sdx * sdy / n
+        slope = sxy / sxx
+        xbar = _TREND_CX + sdx / n
+        ybar = _TREND_CY + sdy / n
+        return pa.table({
+            "event_type": t["event_type"],
+            "slope_per_day": pa.array(slope),
+            "intercept": pa.array(ybar - slope * xbar),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_EVENTS_VALUE_TREND_SQL = """
+SELECT event_type,
+       regr_slope(value, epoch(ts) / 86400.0) AS slope_per_day,
+       regr_intercept(value, epoch(ts) / 86400.0) AS intercept
+FROM events GROUP BY event_type
+"""
