@@ -859,8 +859,23 @@ def _trailing_hour_shard(g: pd.DataFrame, window_us: int = 3_600_000_000
     # contiguous per-user segments → user index 0..U-1 per row
     new_user = np.r_[True, uid[1:] != uid[:-1]]
     user_ix = np.cumsum(new_user) - 1
-    stride = (ts.max() - ts.min()) + 2 * window_us if len(ts) else 0
-    lifted = ts + user_ix * stride  # globally sorted; frames can't cross users
+    if len(ts):
+        # Lift each user onto a shared sorted axis via CUMULATIVE per-user
+        # offsets (cumsum of actual spans + 2*window), not a uniform
+        # users×shard-span stride: the uniform stride overflows int64 at
+        # ~3e5 users/shard on a year-span corpus and silently breaks the
+        # sortedness the searchsorted frames rely on.  Cumulative offsets
+        # need only sum(per-user spans) + 2·window·U to fit int64 — ~292k
+        # user-YEARS of activity per shard — and we assert even that.
+        seg_start = np.flatnonzero(new_user)
+        seg_last = np.r_[seg_start[1:], len(ts)] - 1
+        spans = ts[seg_last] - ts[seg_start]
+        base = np.r_[0, np.cumsum(spans[:-1] + 2 * window_us)]
+        assert float(spans.sum()) + 2.0 * window_us * len(spans) < 2**62, \
+            "trailing-window lift would overflow int64; re-shard smaller"
+        lifted = (ts - ts[seg_start][user_ix]) + base[user_ix]
+    else:
+        lifted = ts
     lo = np.searchsorted(lifted, lifted - window_us, side="left")
     hi = np.searchsorted(lifted, lifted, side="right")  # equal-ts peers in-frame
     prefix = np.r_[0, np.cumsum(cents)]
@@ -990,6 +1005,12 @@ def q_events_hourly_dense(sf_dir: str) -> rd.Dataset:
     counts = hours.groupby("hour_us").aggregate(Count(alias_name="n_events"))
     counts = counts.materialize()
     HOUR_US = 3_600_000_000
+    if counts.count() == 0:
+        # empty events table: min()/max() return None — emit the typed
+        # empty result instead of int(None)
+        return rd.from_arrow(pa.table({
+            "window_start": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64())}))
     h0 = int(counts.min("hour_us")) // HOUR_US
     h1 = int(counts.max("hour_us")) // HOUR_US
 
@@ -998,7 +1019,9 @@ def q_events_hourly_dense(sf_dir: str) -> rd.Dataset:
         return pa.table({"hour_us": pa.array((ids + h0) * HOUR_US, pa.int64())})
 
     axis = rd.range(h1 - h0 + 1).map_batches(to_axis, batch_format="pyarrow")
-    out = axis.join(counts, join_type="left_outer", num_partitions=2,
+    # counts is at most hours-in-span rows — num_partitions=1 avoids the
+    # sparse-side empty-partition Acero wedge (see nation_balance_fullouter)
+    out = axis.join(counts, join_type="left_outer", num_partitions=1,
                     on=("hour_us",))
 
     def fill(t: pa.Table) -> pa.Table:

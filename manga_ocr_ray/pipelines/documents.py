@@ -1484,16 +1484,22 @@ def q_doc_pmi_pairs(sf_dir: str) -> rd.Dataset:
         Count(alias_name="ct"))
     c2 = c2.filter(expr=f"c2 >= {PMI_MIN_COUNT}").materialize()
     n_pairs = int(heads.sum("ch"))
-    n_parts = _join_partitions()
+    # Partitions sized to c2's POST-FILTER cardinality (the bigram-LM wedge
+    # guard): the min-count filter can leave very few surviving pairs, and an
+    # empty hash partition loses its schema inside Acero and kills the join.
+    n_parts = max(1, min(_join_partitions(), c2.count() // 1000))
     joined = (c2.join(heads, join_type="inner", num_partitions=n_parts,
                       on=("prev",))
               .join(tails, join_type="inner", num_partitions=n_parts,
                     on=("cur",)))
 
     def pmi(t: pa.Table) -> pa.Table:
-        c2v = t["c2"].to_numpy()
-        ratio = (c2v * n_pairs).astype(np.float64) \
-            / (t["ch"].to_numpy() * t["ct"].to_numpy()).astype(np.float64)
+        # float64 BEFORE the multiply: c2*N in int64 overflows at 10^12-row
+        # scale (c2 and N are both corpus-sized counts)
+        c2v = t["c2"].to_numpy().astype(np.float64)
+        ratio = (c2v * float(n_pairs)) \
+            / (t["ch"].to_numpy().astype(np.float64)
+               * t["ct"].to_numpy().astype(np.float64))
         return pa.table({"prev": t["prev"], "cur": t["cur"],
                          "n_xy": pc.cast(t["c2"], pa.int64()),
                          "pmi": pa.array(np.log(ratio))})

@@ -39,13 +39,21 @@ def main() -> None:
         print(f"probe: eff_cores={eff:.1f} steal={steal:.1f}%", flush=True)
         if eff >= 24 and steal < 3:
             print("QUIET — firing bench.py --scaling (8,32)", flush=True)
-            r = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
-                capture_output=True, text=True, cwd=REPO, timeout=3000)
-            open(out_path, "w").write(r.stdout)
+            # The bench run itself can be squeezed out mid-flight (timeout,
+            # OOM-kill); a failure must put the watcher back in the loop, not
+            # kill it, and must not clobber a previous good result file.
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                    capture_output=True, text=True, cwd=REPO, timeout=3000)
+            except (subprocess.TimeoutExpired, Exception) as exc:
+                print(f"scaling run failed: {exc}", flush=True)
+                time.sleep(180)
+                continue
             print(r.stdout.strip().splitlines()[-1] if r.stdout else r.stderr[-500:],
                   flush=True)
             if r.returncode == 0:
+                open(out_path, "w").write(r.stdout)
                 return
         time.sleep(180)
     print("deadline reached without a quiet window", flush=True)
