@@ -596,10 +596,15 @@ def q_events_cohort_retention(sf_dir: str) -> rd.Dataset:
     distinct active users per (cohort_day, day_offset).
 
     The first-seen table is ONE combining groupby (user cardinality —
-    sublinear) broadcast back onto the event stream (at 100 TB swap the
-    broadcast for a hash join on user_id, the same key the distinct stage
-    shuffles on anyway); then distinct (cohort, offset, user) → count, two
-    more combining groupbys."""
+    sublinear), then meets the event stream via the shared cardinality
+    switch (``relational._broadcast_max_rows``): a small user table is
+    broadcast once via ``ray.put``; a web-scale one (10^9 users would OOM
+    the driver) hash-joins on user_id — the same key the distinct stage
+    shuffles on anyway — with partitions sized to the measured user count;
+    then distinct (cohort, offset, user) → count, two more combining
+    groupbys."""
+    from .relational import _broadcast_max_rows, _join_partitions
+
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
     def add_day(t: pa.Table) -> pa.Table:
@@ -608,24 +613,43 @@ def q_events_cohort_retention(sf_dir: str) -> rd.Dataset:
         return pa.table({"user_id": t["user_id"], "day": day})
 
     days = ds.map_batches(add_day, batch_format="pyarrow")
-    firsts = days.groupby("user_id").aggregate(Min("day", alias_name="cohort")) \
-                 .to_pandas()
-    cohort_ref = ray.put(firsts.set_index("user_id")["cohort"].astype(np.int32))
+    firsts = days.groupby("user_id").aggregate(
+        Min("day", alias_name="cohort")).materialize()
+    n_users = firsts.count()
 
-    class Offset:
-        def __init__(self, ref):
-            self.cohort = ray.get(ref)
+    if n_users > _broadcast_max_rows():
+        n_parts = max(1, min(_join_partitions(), n_users // 1000))
+        joined = days.join(firsts, join_type="inner", num_partitions=n_parts,
+                           on=("user_id",))
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            c = b["user_id"].map(self.cohort).to_numpy(dtype=np.int32)
-            return pd.DataFrame({"cohort_di": c,
-                                 "day_offset": (b["day"].to_numpy(np.int32) - c)
-                                               .astype(np.int64),
-                                 "user_id": b["user_id"]})
+        def offset_join(t: pa.Table) -> pa.Table:
+            c = t["cohort"].to_numpy().astype(np.int32)
+            return pa.table({
+                "cohort_di": pa.array(c, pa.int32()),
+                "day_offset": pa.array(
+                    t["day"].to_numpy().astype(np.int32) - c, pa.int64()),
+                "user_id": t["user_id"]})
 
-    dist = days.map_batches(Offset, fn_constructor_args=(cohort_ref,),
-                            batch_format="pandas", concurrency=(1, 8)) \
-               .groupby(["cohort_di", "day_offset", "user_id"]) \
+        offs = joined.map_batches(offset_join, batch_format="pyarrow")
+    else:
+        cohort_ref = ray.put(
+            firsts.to_pandas().set_index("user_id")["cohort"].astype(np.int32))
+
+        class Offset:
+            def __init__(self, ref):
+                self.cohort = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                c = b["user_id"].map(self.cohort).to_numpy(dtype=np.int32)
+                return pd.DataFrame({"cohort_di": c,
+                                     "day_offset": (b["day"].to_numpy(np.int32) - c)
+                                                   .astype(np.int64),
+                                     "user_id": b["user_id"]})
+
+        offs = days.map_batches(Offset, fn_constructor_args=(cohort_ref,),
+                                batch_format="pandas", concurrency=(1, 8))
+
+    dist = offs.groupby(["cohort_di", "day_offset", "user_id"]) \
                .aggregate(Count(alias_name="_c")) \
                .groupby(["cohort_di", "day_offset"]) \
                .aggregate(Count(alias_name="n_users"))

@@ -10,6 +10,8 @@ kernels are genuinely exercised — not identity on plain text.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -554,46 +556,75 @@ SELECT doc_id, text FROM gate WHERE ({lang_id_sql('text')}) = 'en'
 
 # ---- TF-IDF top terms (round 3) ---------------------------------------------
 
+def _idf_broadcast_max() -> int:
+    """Vocabulary-cardinality switch between the broadcast-idf and hash-join
+    execution plans of the tf-idf family — the shared
+    ``relational._broadcast_max_rows`` knob (at web scale the distinct-token
+    table is ~10^9 rows; the join partitions follow the bigram-LM
+    cardinality-sizing pattern)."""
+    from .relational import _broadcast_max_rows
+
+    return _broadcast_max_rows()
+
+
 def q_doc_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     """Top-5 terms per document by smoothed TF-IDF
     (``tf * (ln((N+1)/(df+1)) + 1)``, sklearn's smooth-idf formula).
 
     Distributed plan: the vectorized token exploder → one combining
     groupby(doc_id, token) for TF → df derived from THAT table (already
-    one row per (doc, token)) with a second combining groupby(token) →
-    hash join tf ⋈ df on token → per-doc top-5 via groupby(doc_id)
-    .map_groups (groups are per-doc term lists, small by construction).
-    N (corpus doc count) is the only driver-side scalar."""
-    from ray.data.aggregate import Sum as _Sum
-
+    one row per (doc, token)) with a second combining groupby(token).
+    The df table is vocabulary-sized, so how it meets the tf stream is
+    cardinality-switched (``_idf_broadcast_max``): small vocab → one
+    ``ray.put`` broadcast + map-side lookup; large vocab → hash join on
+    ``token`` with partitions sized to the measured cardinality (an empty
+    hash partition of the sparse side loses its schema inside Acero — the
+    bigram-LM wedge guard).  Per-doc top-5 via groupby(doc_id).map_groups
+    (groups are per-doc term lists, small by construction).  N (corpus doc
+    count) is the only driver-side scalar either way."""
     import ray as _ray
+
+    from .relational import _join_partitions
 
     n_docs = _docs(sf_dir, ["doc_id"]).count()
     toks = q_doc_tokens(sf_dir).select_columns(["doc_id", "token"])
     tf = toks.groupby(["doc_id", "token"]).aggregate(Count(alias_name="tf")) \
              .materialize()  # feeds both the df agg and the idf lookup
-    # document frequency = one combining groupby over the (doc, token) table;
-    # the RESULT is the vocabulary (sublinear in corpus size), so it joins
-    # back as a broadcast idf lookup instead of a second all-to-all hash join
-    # (which also trips Arrow's empty-right-partition schema loss on sparse
-    # token partitions).
-    dfp = tf.groupby("token").aggregate(Count(alias_name="df")).to_pandas()
-    idf = dfp.set_index("token")["df"].astype(np.float64)
-    idf = np.log((n_docs + 1.0) / (idf + 1.0)) + 1.0
-    idf_ref = _ray.put(idf)
+    dfd = tf.groupby("token").aggregate(Count(alias_name="df")).materialize()
+    n_vocab = dfd.count()
 
-    class Score:
-        def __init__(self, ref):
-            self.idf = _ray.get(ref)
+    if n_vocab > _idf_broadcast_max():
+        n_parts = max(1, min(_join_partitions(), n_vocab // 1000))
+        joined = tf.join(dfd, join_type="inner", num_partitions=n_parts,
+                         on=("token",))
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            s = b["tf"].to_numpy(dtype=np.float64) \
-                * b["token"].map(self.idf).to_numpy(dtype=np.float64)
-            return pd.DataFrame({"doc_id": b["doc_id"], "token": b["token"],
-                                 "tf": b["tf"].astype("int64"), "score": s})
+        def score_join(t: pa.Table) -> pa.Table:
+            dfv = t["df"].to_numpy().astype(np.float64)
+            s = t["tf"].to_numpy().astype(np.float64) \
+                * (np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0)
+            return pa.table({"doc_id": t["doc_id"], "token": t["token"],
+                             "tf": pc.cast(t["tf"], pa.int64()),
+                             "score": pa.array(s, pa.float64())})
 
-    scored = tf.map_batches(Score, fn_constructor_args=(idf_ref,),
-                            batch_format="pandas", concurrency=(1, 8))
+        scored = joined.map_batches(score_join, batch_format="pyarrow")
+    else:
+        dfp = dfd.to_pandas()
+        idf = dfp.set_index("token")["df"].astype(np.float64)
+        idf = np.log((n_docs + 1.0) / (idf + 1.0)) + 1.0
+        idf_ref = _ray.put(idf)
+
+        class Score:
+            def __init__(self, ref):
+                self.idf = _ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                s = b["tf"].to_numpy(dtype=np.float64) \
+                    * b["token"].map(self.idf).to_numpy(dtype=np.float64)
+                return pd.DataFrame({"doc_id": b["doc_id"], "token": b["token"],
+                                     "tf": b["tf"].astype("int64"), "score": s})
+
+        scored = tf.map_batches(Score, fn_constructor_args=(idf_ref,),
+                                batch_format="pandas", concurrency=(1, 8))
 
     def top5(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "token"], ascending=[False, True]).head(5)
@@ -826,33 +857,58 @@ FROM toks GROUP BY token
 def q_doc_rarity(sf_dir: str) -> rd.Dataset:
     """Per-document token-rarity score: the tf-weighted mean document
     frequency of a doc's tokens — a corpus-level quality signal (low mean df
-    = the doc is dominated by rare/garbled terms; high = boilerplate).  The
-    per-group aggregate (df per token) is vocabulary-sized → broadcast back
-    onto the token stream as a numpy-backed lookup (same pattern as
-    q_doc_tfidf_top_terms), then one combining groupby(doc_id) over integer
-    partials — the division happens once per doc at the end, so the float
-    matches the oracle exactly."""
+    = the doc is dominated by rare/garbled terms; high = boilerplate).
+
+    Distributed plan: one combining groupby(doc_id, token) collapses the
+    token stream to (doc, token, tf) — everything downstream works on that
+    smaller table, with sum_df = Σ tf·df and n_tokens = Σ tf recovered
+    exactly in int64.  The df table is vocabulary-sized, so it meets the tf
+    table via the same cardinality switch as q_doc_tfidf_top_terms: small
+    vocab → ``ray.put`` broadcast lookup; large vocab → hash join on
+    ``token`` with cardinality-sized partitions (never a driver pandas
+    Series of a 10^9-row vocabulary).  The division happens once per doc at
+    the end, so the float matches the oracle exactly."""
     import ray as _ray
 
+    from .relational import _join_partitions
+
     toks = q_doc_tokens(sf_dir).select_columns(["doc_id", "token"])
-    dfp = toks.groupby(["token", "doc_id"]).aggregate(Count(alias_name="_tf")) \
-              .groupby("token").aggregate(Count(alias_name="df")).to_pandas()
-    df_ref = _ray.put(dfp.set_index("token")["df"].astype(np.int64))
+    tfd = toks.groupby(["doc_id", "token"]).aggregate(
+        Count(alias_name="tf")).materialize()
+    dfd = tfd.groupby("token").aggregate(Count(alias_name="df")).materialize()
+    n_vocab = dfd.count()
 
-    class AddDf:
-        def __init__(self, ref):
-            self.df = _ray.get(ref)
+    def weighted(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy().astype(np.int64)
+        df = t["df"].to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "wdf": pa.array(tf * df, pa.int64()),
+                         "tf": pa.array(tf, pa.int64())})
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "doc_id": b["doc_id"],
-                "df": b["token"].map(self.df).to_numpy(dtype=np.int64),
-            })
+    if n_vocab > _idf_broadcast_max():
+        n_parts = max(1, min(_join_partitions(), n_vocab // 1000))
+        pairs = tfd.join(dfd, join_type="inner", num_partitions=n_parts,
+                         on=("token",)).map_batches(
+            weighted, batch_format="pyarrow")
+    else:
+        df_ref = _ray.put(
+            dfd.to_pandas().set_index("token")["df"].astype(np.int64))
 
-    agg = toks.map_batches(AddDf, fn_constructor_args=(df_ref,),
-                           batch_format="pandas", concurrency=(1, 8)) \
-              .groupby("doc_id").aggregate(Sum("df", alias_name="sum_df"),
-                                           Count(alias_name="n_tokens"))
+        class AddDf:
+            def __init__(self, ref):
+                self.df = _ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                tf = b["tf"].to_numpy(dtype=np.int64)
+                df = b["token"].map(self.df).to_numpy(dtype=np.int64)
+                return pd.DataFrame({"doc_id": b["doc_id"],
+                                     "wdf": tf * df, "tf": tf})
+
+        pairs = tfd.map_batches(AddDf, fn_constructor_args=(df_ref,),
+                                batch_format="pandas", concurrency=(1, 8))
+
+    agg = pairs.groupby("doc_id").aggregate(Sum("wdf", alias_name="sum_df"),
+                                            Sum("tf", alias_name="n_tokens"))
 
     def finish(t: pa.Table) -> pa.Table:
         s = t["sum_df"].combine_chunks().to_numpy().astype(np.float64)
@@ -1113,6 +1169,9 @@ def q_doc_bm25(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow") \
         .groupby(["doc_id", "token"]).aggregate(Count(alias_name="tf")) \
         .materialize()
+    # tf is pruned to the query terms BEFORE this groupby, so dfp here is
+    # ≤ len(BM25_TERMS) rows — a bounded broadcast, NOT the vocabulary-sized
+    # df table that q_doc_tfidf_top_terms / q_doc_rarity cardinality-switch on
     dfp = tf.groupby("token").aggregate(Count(alias_name="df")).to_pandas()
     idf = pd.Series(
         np.log((n_docs - dfp["df"].to_numpy(dtype=np.float64) + 0.5)
@@ -1691,14 +1750,20 @@ def q_doc_token_pagerank(sf_dir: str) -> rd.Dataset:
     back onto the node set — rank state lives in a Dataset, never on the
     driver, so the same plan runs at a 10^9-node graph.  Dangling nodes
     (no out-edges) leak their mass, identically on both sides; join
-    partitions = 1 because every table here is vocabulary-sized (the
-    empty-partition wedge guard; scale up with the vocabulary)."""
+    partitions DERIVE from the measured node count (the bigram-LM
+    cardinality-sizing pattern: ≥1 so the tiny-vocab empty-partition wedge
+    guard holds, growing with the vocabulary so a 10^9-node graph doesn't
+    funnel every iteration through one partition)."""
+    from .relational import _join_partitions
+
     pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _bigrams_batch, batch_format="pyarrow").drop_columns(["doc_id"])
     edges = pairs.groupby(["prev", "cur"]).aggregate(Count(alias_name="w"))
     outw = (pairs.select_columns(["prev"]).groupby("prev")
-            .aggregate(Count(alias_name="ow")))
-    edges = edges.join(outw, join_type="inner", num_partitions=1, on=("prev",))
+            .aggregate(Count(alias_name="ow")).materialize())
+    n_parts = max(1, min(_join_partitions(), outw.count() // 1000))
+    edges = edges.join(outw, join_type="inner", num_partitions=n_parts,
+                       on=("prev",))
 
     def norm(t: pa.Table) -> pa.Table:
         wn = t["w"].to_numpy() * 1.0 / t["ow"].to_numpy()
@@ -1710,6 +1775,7 @@ def q_doc_token_pagerank(sf_dir: str) -> rd.Dataset:
              .groupby("token").aggregate(Count(alias_name="_n"))
              .drop_columns(["_n"]).materialize())
     n_nodes = nodes.count()
+    n_parts = max(1, min(_join_partitions(), n_nodes // 1000))
     base = (1.0 - PR_DAMPING) / n_nodes
 
     def init(t: pa.Table) -> pa.Table:
@@ -1718,7 +1784,7 @@ def q_doc_token_pagerank(sf_dir: str) -> rd.Dataset:
 
     rank = nodes.map_batches(init, batch_format="pyarrow")
     for _ in range(PR_ITERS):
-        contrib = edges.join(rank, join_type="inner", num_partitions=1,
+        contrib = edges.join(rank, join_type="inner", num_partitions=n_parts,
                              on=("prev",), right_on=("token",))
 
         def mass(t: pa.Table) -> pa.Table:
@@ -1727,7 +1793,8 @@ def q_doc_token_pagerank(sf_dir: str) -> rd.Dataset:
 
         summed = (contrib.map_batches(mass, batch_format="pyarrow")
                   .groupby("cur").aggregate(Sum("m", alias_name="m")))
-        joined = nodes.join(summed, join_type="left_outer", num_partitions=1,
+        joined = nodes.join(summed, join_type="left_outer",
+                            num_partitions=n_parts,
                             on=("token",), right_on=("cur",))
 
         def update(t: pa.Table) -> pa.Table:

@@ -35,6 +35,19 @@ def _join_partitions() -> int:
     return max(8, cpus // 2)
 
 
+def _broadcast_max_rows() -> int:
+    """Cardinality switch between broadcast-lookup and hash-join plans for
+    small-side tables keyed on an unbounded-cardinality column (vocabulary,
+    user id).  Below this many rows the side is shipped once via ``ray.put``
+    and looked up map-side; above it — a 10^9-row side would OOM the driver
+    as a pandas object — it stays a Dataset and hash-joins on the key with
+    partitions sized to the measured cardinality.  Env-overridable so tests
+    force the join path on tiny data."""
+    import os
+
+    return int(os.environ.get("GRAFT_BROADCAST_MAX_ROWS", 5_000_000))
+
+
 # ---- G3/G1 analog: grouped aggregation with computed measures (TPC-H Q1) ---
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:

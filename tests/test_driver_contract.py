@@ -112,6 +112,33 @@ def test_round3_wave4_rowcounts(entrymod, con):
         assert sorted(got.columns) == sorted(want.columns), name
 
 
+def test_broadcast_join_switch_paths_agree(entrymod, con, monkeypatch):
+    """The cardinality-switched operators (tfidf idf, rarity df, cohort
+    first-seen) must return IDENTICAL values through the broadcast plan and
+    the forced hash-join plan (GRAFT_BROADCAST_MAX_ROWS=0) — the 100-TB path
+    is exercised in CI, not just documented."""
+    import numpy as np
+
+    for name in ["doc_tfidf_top_terms", "doc_rarity", "events_cohort_retention"]:
+        want = con.sql(entrymod.oracle_sql()[name]).df()
+        for env in ["0", "5000000"]:
+            monkeypatch.setenv("GRAFT_BROADCAST_MAX_ROWS", env)
+            got = entrymod.queries()[name](SF_DIR)
+            got = got.to_pandas() if hasattr(got, "to_pandas") else got
+            assert len(got) == len(want), (name, env)
+            assert sorted(got.columns) == sorted(want.columns), (name, env)
+            g = got[sorted(got.columns)].sort_values(
+                sorted(got.columns)).reset_index(drop=True)
+            w = want[sorted(want.columns)].sort_values(
+                sorted(want.columns)).reset_index(drop=True)
+            for c in g.columns:
+                if np.issubdtype(g[c].dtype, np.floating):
+                    assert np.allclose(g[c], w[c].astype(float)), (name, env, c)
+                else:
+                    assert (g[c].astype(str) == w[c].astype(str)).all(), \
+                        (name, env, c)
+
+
 def test_round3_wave5_rowcounts(entrymod, con):
     for name in ["doc_fuzzy_token_join", "doc_temperature_sample",
                  "events_hourly_dense", "doc_token_pagerank"]:
