@@ -108,6 +108,75 @@ def content_hash128(texts: list[str] | pa.Array | pa.ChunkedArray) -> tuple[np.n
     return a[:, 0].copy(), a[:, 1].copy()
 
 
+_DUCK = None
+
+
+def _duck():
+    """Per-process single-threaded DuckDB connection — the batch md5 kernel.
+    One thread: the surrounding Ray task already owns exactly one CPU slot;
+    letting DuckDB fan out would oversubscribe the worker."""
+    global _DUCK
+    if _DUCK is None:
+        import duckdb
+
+        _DUCK = duckdb.connect()
+        _DUCK.execute("SET threads=1")
+    return _DUCK
+
+
+def _md5_hex_fixed(keys, salt: str, nhex: int) -> np.ndarray:
+    """First ``nhex`` lowercase-hex chars of ``md5(str(key) || salt)`` per
+    row as a fixed-width ``S{nhex}`` numpy array.
+
+    DuckDB's vectorized md5 over a zero-copy Arrow scan replaces the
+    per-row ``hashlib.md5`` loop — MEASURED (round 4, threads=1, 200k
+    int64 keys): 3.3 Mrows/s vs 0.85 Mrows/s for the fromiter/hashlib
+    loop, ~4× single-thread.  Output decodes from the result's contiguous
+    utf-8 buffer in ONE frombuffer (every row is exactly nhex bytes).
+    md5 here is a sampling gate mirrored by SQL oracles, not a security
+    boundary; ``tests/test_property.py`` pins equality to the scalar
+    hashlib twin."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if not isinstance(keys, pa.Array):
+        keys = pa.array(list(keys))
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=f"S{nhex}")
+    tbl = pa.table({"k": keys})  # noqa: F841 — DuckDB replacement scan
+    esc = salt.replace("'", "''")
+    arr = _duck().execute(
+        f"SELECT substring(md5(CAST(k AS VARCHAR) || '{esc}'), 1, {nhex}) "
+        f"AS h FROM tbl").arrow()["h"].combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                        count=n + 1 + arr.offset)[arr.offset:]
+    assert ((off[1:] - off[:-1]) == nhex).all()
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    flat = data[off[0]:off[0] + n * nhex]
+    return flat.view(f"S{nhex}")
+
+
+def md5_gate64(keys, salt: str = "") -> np.ndarray:
+    """First 64 bits (big-endian) of ``md5(str(key) || salt)`` per row — the
+    deterministic sampling gate (mirrors DuckDB
+    ``substring(md5(CAST(k AS VARCHAR) || salt), 1, 16)`` compared as hex).
+    Vectorized end-to-end: DuckDB md5 batch kernel (:func:`_md5_hex_fixed`)
+    then a numpy nibble parse of the 16 hex chars — no per-row Python."""
+    hx = _md5_hex_fixed(keys, salt, 16).view(np.uint8).reshape(-1, 16)
+    nib = hx.astype(np.uint64) - 48
+    nib[hx >= 97] -= 39  # 'a'-'f' → 10-15 (DuckDB md5 hex is lowercase)
+    out = np.zeros(len(hx), dtype=np.uint64)
+    for i in range(16):
+        out = (out << np.uint64(4)) | nib[:, i]
+    return out
+
+
+def md5_hex32(keys, salt: str = "") -> np.ndarray:
+    """Full 32-char lowercase-hex md5 per row as a numpy ``U32`` array
+    (sort key mirroring DuckDB ``md5(CAST(k AS VARCHAR) || salt)``)."""
+    return _md5_hex_fixed(keys, salt, 32).astype("U32")
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — decorrelates derived seeds/band hashes."""
     x = x.astype(np.uint64)

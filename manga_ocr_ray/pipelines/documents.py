@@ -671,21 +671,19 @@ def q_doc_stratified_sample(sf_dir: str) -> rd.Dataset:
     bits of ``md5(doc_id || salt)`` fall under its stratum's rate — the
     standard hash-gate sampler (reproducible at any cluster size / block
     layout, no RNG state to coordinate, mirrors to SQL as a lowercase-hex
-    string compare).  md5 here is a sampling gate, not a security boundary."""
-    import hashlib
+    string compare).  md5 here is a sampling gate, not a security boundary;
+    the gate is the batched DuckDB-md5 kernel (``functions.hashing``), not
+    a per-row hashlib loop."""
+    from ..functions.hashing import md5_gate64
 
     ds = _docs(sf_dir, ["doc_id", "lang"])
 
     def keep(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].combine_chunks().to_numpy()
         langs = t["lang"].combine_chunks().to_pylist()
         thr = np.fromiter(
             (int(STRATIFIED_RATES.get(l, STRATIFIED_DEFAULT_RATE) * 2**64)
              for l in langs), dtype=np.uint64, count=len(langs))
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.md5(f"{i}{_STRAT_SALT}".encode()).digest()[:8],
-                            "big") for i in ids),
-            dtype=np.uint64, count=len(ids))
+        hs = md5_gate64(t["doc_id"], _STRAT_SALT)
         return t.filter(pa.array(hs < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -1692,7 +1690,7 @@ def q_doc_temperature_sample(sf_dir: str) -> rd.Dataset:
     flip a boundary row).  Scale: language counts are a tiny combining
     groupby; rates broadcast into the gate closure; the filter is map-side
     — no corpus-sized shuffle at all."""
-    import hashlib
+    from ..functions.hashing import md5_gate64
 
     counts = (_docs(sf_dir, ["lang"]).groupby("lang")
               .aggregate(Count(alias_name="c")).to_pandas())
@@ -1706,15 +1704,10 @@ def q_doc_temperature_sample(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "lang"])
 
     def keep(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].combine_chunks().to_numpy()
         srcs = t["lang"].combine_chunks().to_pylist()
         thr = np.fromiter((thr_by_lang.get(s, 1 << 60) for s in srcs),
                           dtype=np.uint64, count=len(srcs))
-        hs = np.fromiter(
-            (int.from_bytes(
-                hashlib.md5(f"{i}{_TMIX_SALT}".encode()).digest()[:8],
-                "big") >> 4 for i in ids),
-            dtype=np.uint64, count=len(ids))
+        hs = md5_gate64(t["doc_id"], _TMIX_SALT) >> np.uint64(4)
         return t.filter(pa.array(hs < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -1853,16 +1846,13 @@ def q_doc_source_cap(sf_dir: str) -> rd.Dataset:
     selection handles bounded input regardless of corpus size.  Only
     (doc_id, source, hkey) ever shuffles.
     """
-    import hashlib
+    from ..functions.hashing import md5_hex32
 
     ds = _docs(sf_dir, ["doc_id", "source"])
 
     def partial_topk(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        df["hkey"] = [
-            hashlib.md5(f"{i}{_CAP_SALT}".encode()).hexdigest()
-            for i in df["doc_id"]
-        ]
+        df["hkey"] = md5_hex32(t["doc_id"], _CAP_SALT)
         return (df.sort_values(["hkey", "doc_id"])
                   .groupby("source", sort=False).head(SOURCE_CAP_K))
 

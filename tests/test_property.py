@@ -72,3 +72,33 @@ def test_global_rank_total_order(ray_session):
     # rank order == lexicographic (v, k) order
     expect = pdf.sort_values(["v", "k"]).reset_index(drop=True)
     assert list(out["k"]) == list(expect["k"])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(st.integers(min_value=-10**12, max_value=10**12),
+                          st.text(max_size=20).filter(lambda s: "\x00" not in s)),
+                max_size=30))
+def test_md5_gates_match_scalar_hashlib(keys):
+    """The batched DuckDB-md5 gate kernels must equal the per-row hashlib
+    reference exactly (the SQL oracles compare the same hex)."""
+    import hashlib
+
+    from manga_ocr_ray.functions.hashing import md5_gate64, md5_hex32
+
+    keys = [k for k in keys]  # mixed int/str lists hash per str(key)
+    salt = ":s1"
+    want64 = [int.from_bytes(hashlib.md5(f"{k}{salt}".encode()).digest()[:8],
+                             "big") for k in keys]
+    wanthex = [hashlib.md5(f"{k}{salt}".encode()).hexdigest() for k in keys]
+    # pa.array needs one type; test ints and strs separately
+    ints = [k for k in keys if isinstance(k, int)]
+    strs = [k for k in keys if isinstance(k, str)]
+    import pyarrow as pa
+
+    for sub in (ints, strs):
+        w64 = [int.from_bytes(hashlib.md5(f"{k}{salt}".encode()).digest()[:8],
+                              "big") for k in sub]
+        whex = [hashlib.md5(f"{k}{salt}".encode()).hexdigest() for k in sub]
+        arr = pa.array(sub) if sub else pa.array([], pa.string())
+        assert md5_gate64(arr, salt).tolist() == w64
+        assert md5_hex32(arr, salt).tolist() == whex
