@@ -636,10 +636,19 @@ def _q_media_frames(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so that the first 50 entries (the driver's correctness window)
-    are exactly the 50 oracle-bearing queries: the flagship transcript gates
-    lead, redundant-oracle twins (spec_clean / embedding_near_dup exact /
-    doc_ngram_jaccard — each value-checked by the driver in round 2) and the
-    rows-only approx/multimodal queries sit in the tail."""
+    are exactly 50 oracle-bearing queries.  ROUND-4 ROTATION (r3 VERDICT
+    item 6): the flagship transcript gates stay first, 13 family
+    representatives keep breadth, and the remaining 32 slots go to the
+    oracle-bearing queries the driver has NEVER certified (the r3
+    locally-only families) plus every operator changed this round
+    (tfidf/rarity/cohort join switches, PMI wedge fix, trailing-hour lift,
+    md5 gates, pagerank partitions).  Displaced entries were driver-green in
+    CORRECTNESS_r02/r03 and stay value-checked by scripts/check_oracle.py;
+    each displaced family keeps an in-window representative (rank ↔
+    orders_ntile/parts_dense_rank, set-ops ↔ nations_intersect, gap-fill ↔
+    events_hourly_dense, per-group-top-k ↔ doc_source_cap, chain joins ↔
+    order_revenue_join/events_segment_revenue, window ↔ events_value_trend/
+    events_first_last/events_trailing_hour, pivot ↔ events_cube)."""
     from manga_ocr_ray.pipelines import analytic as A
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
@@ -652,82 +661,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_cjk_stats": _q_transcript_cjk_stats,
         "transcript_cer": _q_transcript_cer,
         "transcript_ja_segment": _q_transcript_ja_segment,
-        # embedding aggregates with exact SQL twins
-        "embedding_centroids": _q_embedding_centroids,
-        "embedding_quantize": _q_embedding_quantize,
-        # relational operator coverage (SURVEY §2: M4-M10, G1-G3, O1-O6, U1, J1/J2)
+        # family representatives held over (driver-green r2/r3)
         "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "filter_project": R.q_filter_project,
-        "region_customer_count": R.q_region_customer_count,
-        "top_customers": R.q_top_customers,
-        "orders_price_rank": R.q_orders_price_rank,
-        "union_nations": R.q_union_nations,
-        "events_hourly": R.q_events_hourly,
+        "doc_normalize": D.q_doc_normalize,
+        "registry_clean": _q_registry_clean,
+        "doc_exact_dedup": D.q_doc_exact_dedup,
+        "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_centroids": _q_embedding_centroids,
+        "events_heavy_users": _q_events_heavy_users,
+        "doc_lang_id": _q_doc_lang_id,
         "events_props": R.q_events_props,
-        "events_sessions": R.q_events_sessions,
-        "top_parts_per_brand": R.q_top_parts_per_brand,
-        "doc_split": R.q_doc_split,
         "order_revenue_join": R.q_order_revenue_join,
         "events_asof_signup": R.q_events_asof_signup,
-        "events_cumulative": R.q_events_cumulative,
-        "doc_char_classes": R.q_doc_char_classes,
-        "customers_no_orders": R.q_customers_no_orders,
-        "event_types": R.q_event_types,
-        "orders_price_quantiles": R.q_orders_price_quantiles,
-        # extraction / normalization kernels ([core] M1, S3, M6/M7 analogs)
-        "doc_normalize": D.q_doc_normalize,
-        "doc_flatten_pdf": D.q_doc_flatten_pdf,
-        "doc_quality": D.q_doc_quality,
-        "doc_exact_dedup": D.q_doc_exact_dedup,
-        "doc_fingerprint": D.q_doc_fingerprint,
-        "registry_clean": _q_registry_clean,
-        "doc_repetition": D.q_doc_repetition,
-        "training_mix": D.q_training_mix,
-        # new round-3 relational operators (range join, lag/lead window,
-        # pivot/crosstab, EXCEPT) — in-window so the driver certifies them
-        "events_range_join": R.q_events_range_join,
-        "events_lag_lead": R.q_events_lag_lead,
-        "events_pivot_daily": R.q_events_pivot_daily,
-        "customers_churned_1996": R.q_customers_churned_1996,
-        # new round-3 analytic families — in-window, displacing four twins
-        # whose families keep an in-window representative (doc_tokens ↔
-        # doc_token_count, events_session_ids ↔ events_sessions,
-        # events_moving_avg ↔ events_cumulative/events_lag_lead,
-        # doc_charset_coverage ↔ doc_char_classes; all four were driver-
-        # certified green in CORRECTNESS_r02.json and stay oracle-checked
-        # locally via scripts/check_oracle.py)
-        "q5_nation_volume": A.q5_nation_volume,
-        "events_rollup": A.q_events_rollup,
+        # changed this round (cardinality-switched idf join) — re-certify
         "doc_tfidf_top_terms": D.q_doc_tfidf_top_terms,
-        "doc_pack_tokens": D.q_doc_pack_tokens,
-        # newest round-3 families — in-window, displacing three twins whose
-        # families keep an in-window representative (top_orders ↔
-        # top_customers sort+limit, doc_strip_html/doc_token_count ↔
-        # registry_clean, which runs the same strip+normalize+count kernels;
-        # all three were driver-green in r02 and stay locally oracle-checked)
-        "q17_avg_yearly": A.q17_avg_yearly,
-        "lineitem_bloom_semi": A.q_lineitem_bloom_semi,
-        "doc_inverted_index": D.q_doc_inverted_index,
-        # training-data operators
-        "doc_minhash_dedup": _q_doc_minhash_dedup,
-        "events_heavy_users": _q_events_heavy_users,
-        "doc_simhash_pairs": _q_doc_simhash_pairs,
-        "doc_lang_id": _q_doc_lang_id,
-        "embedding_topk": _q_embedding_topk,
-        # ---- driver window boundary (entries below are redundant-oracle
-        # twins already driver-green in round 2, or rows-only by design;
-        # each displaced twin's family keeps an in-window representative:
-        # doc_minhash_keep ↔ doc_minhash_dedup, doc_top_tokens/doc_scrub_urls
-        # ↔ doc_tokens/doc_normalize, suppliers_with_bigparts ↔
-        # customers_no_orders, embedding_near_dup_lsh ↔ embedding_topk) ----
-        "doc_tokens": D.q_doc_tokens,
-        "top_orders": R.q_top_orders,
-        "doc_strip_html": D.q_doc_strip_html,
-        "doc_token_count": D.q_doc_token_count,
-        "events_session_ids": R.q_events_session_ids,
-        "events_moving_avg": R.q_events_moving_avg,
-        "doc_charset_coverage": D.q_doc_charset_coverage,
+        # never-driver-certified oracle-bearing families (r3 locally-only)
         "events_first_last": A.q_events_first_last,
         "doc_rarity": D.q_doc_rarity,
         "events_user_active_days": A.q_events_user_active_days,
@@ -740,8 +689,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": A.q_events_funnel,
         "doc_quality_gate": D.q_doc_quality_gate,
         "doc_bm25": D.q_doc_bm25,
-        # round-3 analytic additions with local oracles (outside the
-        # 50-entry driver window; value-checked by scripts/check_oracle.py)
         "doc_line_dedup": D.q_doc_line_dedup,
         "doc_bigram_lm": D.q_doc_bigram_lm,
         "events_trailing_hour": A.q_events_trailing_hour,
@@ -762,6 +709,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": D.q_doc_stratified_sample,
         "doc_source_cap": D.q_doc_source_cap,
         "doc_decontaminate": D.q_doc_decontaminate,
+        # ---- driver window boundary (entries below were driver-certified in
+        # r2/r3 — see CORRECTNESS_r02/r03.json — or are rows-only by design;
+        # all oracle-bearing ones stay checked by scripts/check_oracle.py) ----
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "filter_project": R.q_filter_project,
+        "region_customer_count": R.q_region_customer_count,
+        "top_customers": R.q_top_customers,
+        "orders_price_rank": R.q_orders_price_rank,
+        "union_nations": R.q_union_nations,
+        "events_hourly": R.q_events_hourly,
+        "events_sessions": R.q_events_sessions,
+        "top_parts_per_brand": R.q_top_parts_per_brand,
+        "doc_split": R.q_doc_split,
+        "events_cumulative": R.q_events_cumulative,
+        "doc_char_classes": R.q_doc_char_classes,
+        "customers_no_orders": R.q_customers_no_orders,
+        "event_types": R.q_event_types,
+        "orders_price_quantiles": R.q_orders_price_quantiles,
+        "doc_flatten_pdf": D.q_doc_flatten_pdf,
+        "doc_quality": D.q_doc_quality,
+        "doc_fingerprint": D.q_doc_fingerprint,
+        "doc_repetition": D.q_doc_repetition,
+        "training_mix": D.q_training_mix,
+        "events_range_join": R.q_events_range_join,
+        "events_lag_lead": R.q_events_lag_lead,
+        "events_pivot_daily": R.q_events_pivot_daily,
+        "customers_churned_1996": R.q_customers_churned_1996,
+        "q5_nation_volume": A.q5_nation_volume,
+        "events_rollup": A.q_events_rollup,
+        "doc_pack_tokens": D.q_doc_pack_tokens,
+        "q17_avg_yearly": A.q17_avg_yearly,
+        "lineitem_bloom_semi": A.q_lineitem_bloom_semi,
+        "doc_inverted_index": D.q_doc_inverted_index,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "embedding_quantize": _q_embedding_quantize,
+        "doc_tokens": D.q_doc_tokens,
+        "top_orders": R.q_top_orders,
+        "doc_strip_html": D.q_doc_strip_html,
+        "doc_token_count": D.q_doc_token_count,
+        "events_session_ids": R.q_events_session_ids,
+        "events_moving_avg": R.q_events_moving_avg,
+        "doc_charset_coverage": D.q_doc_charset_coverage,
         "doc_minhash_keep": D.q_doc_minhash_keep,
         "doc_top_tokens": D.q_doc_top_tokens,
         "doc_scrub_urls": D.q_doc_scrub_urls,

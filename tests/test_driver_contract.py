@@ -67,6 +67,15 @@ def test_driver_window_is_all_oracle_bearing(entrymod):
     assert window[0] == "transcript_extract"
     assert "transcript_merge" in window[:5]
     assert "transcript_cer" in window[:5]
+    # round-4 rotation: the r3 locally-only families and every operator
+    # changed this round must be inside the driver window
+    for name in ["doc_line_dedup", "doc_bigram_lm", "doc_token_pagerank",
+                 "doc_repeated_spans", "events_trailing_hour", "doc_pii_scrub",
+                 "doc_fuzzy_token_join", "events_value_trend", "doc_source_cap",
+                 "doc_pmi_pairs", "events_hourly_dense", "doc_rarity",
+                 "events_cohort_retention", "doc_tfidf_top_terms",
+                 "doc_stratified_sample", "doc_temperature_sample"]:
+        assert name in window, name
 
 
 def test_new_family_queries_match_oracle_rowcount(entrymod, con):
