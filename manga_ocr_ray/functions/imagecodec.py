@@ -9,8 +9,11 @@ PUBLIC specs with numpy + the stdlib alone):
 
 Encoders for the same formats exist so test corpora carry REAL encoded
 payloads (round-trip property: decode(encode(img)) == img).  Compressed
-formats (PNG/JPEG/MP4) still need PIL/ffmpeg and raise NotImplementedError
-with that message — the dispatch seam is :func:`sniff_kind`.
+formats (PNG/JPEG) decode through :func:`decode_pil` when PIL is importable
+(the reference's exact path — ``Image.open`` on the payload,
+manga_ocr/ocr.py:102-110) and raise NotImplementedError naming the missing
+lib otherwise — the dispatch seam is :func:`sniff_kind` +
+:func:`decode_image_any`.  MP4 still needs ffmpeg.
 """
 
 from __future__ import annotations
@@ -20,6 +23,11 @@ import struct
 import wave
 
 import numpy as np
+
+try:  # optional — not in this container; present in most deployments
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised via monkeypatch in tests
+    _PILImage = None
 
 # ---- format sniffing --------------------------------------------------------
 
@@ -97,6 +105,35 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         px = rows.reshape(h, w, bypp)
         img = px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
     return img[::-1] if flip else img
+
+
+# ---- PIL-backed compressed formats (optional import) -------------------------
+
+
+def pil_available() -> bool:
+    return _PILImage is not None
+
+
+def decode_pil(payload: bytes) -> np.ndarray:
+    """PNG/JPEG (or anything PIL opens) -> uint8 RGB (h, w, 3).  Mirrors the
+    reference's ``Image.open(...).convert('RGB')`` load path
+    (manga_ocr/ocr.py:102-110).  Raises NotImplementedError when PIL is not
+    importable in this environment."""
+    if _PILImage is None:
+        raise NotImplementedError("PNG/JPEG decode needs PIL (not in this container)")
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def decode_image_any(payload: bytes) -> np.ndarray:
+    """Decode dispatch: spec codecs for the uncompressed public formats,
+    PIL (when importable) for everything else -> uint8 RGB (h, w, 3)."""
+    kind = sniff_kind(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    if kind in ("ppm", "pgm"):
+        return decode_pnm(payload)
+    return decode_pil(payload)
 
 
 # ---- netpbm (PPM P6 / PGM P5) ----------------------------------------------

@@ -25,7 +25,8 @@ from .relational import _cents, _join_partitions, _pq
 
 # ---- TPC-H Q5 shape: 6-table join with a same-nation predicate --------------
 
-def q5_nation_volume(sf_dir: str) -> rd.Dataset:
+def q5_nation_volume(sf_dir: str,
+                     broadcast_supplier: bool | None = None) -> rd.Dataset:
     """Revenue per ASIA nation from 1996 orders where the line item's
     supplier and the ordering customer share a nation (TPC-H Q5 shape).
 
@@ -38,10 +39,12 @@ def q5_nation_volume(sf_dir: str) -> rd.Dataset:
     - lineitem reduced to (l_orderkey, l_suppkey, rev_e4 int64 cents²)
       and hash-joined on orderkey — the same key the previous join
       produced, so only lineitem reshuffles;
-    - supplier is a dimension table (10k rows/SF): broadcast as a
-      suppkey→nationkey int array lookup, NOT a third all-to-all join
-      (at 100 TB supplier is ~1e9 rows ≈ 8 GB int64 pairs — past the
-      broadcast budget; flip ``broadcast_supplier=False`` to hash-join);
+    - supplier meets the joined stream through the shared cardinality
+      switch (default ``broadcast_supplier=None`` decides by the metadata
+      row count vs ``relational._broadcast_max_rows``): a 10k-row/SF
+      dimension broadcasts as a suppkey→nationkey int array lookup; at
+      100 TB supplier is ~1e9 rows ≈ 8 GB of int64 pairs — past the
+      broadcast budget — and hash-joins on suppkey instead;
     - same-nation filter + nation-name projection per batch, then one
       combining groupby(n_name) over int64 cents.
     """
@@ -81,11 +84,12 @@ def q5_nation_volume(sf_dir: str) -> rd.Dataset:
 
     li = li.map_batches(rev, batch_format="pyarrow")
 
-    sup = pd.read_parquet(_pq(sf_dir, "supplier"),
-                          columns=["s_suppkey", "s_nationkey"])
-    sup_lut = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
-    sup_lut[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
-    sup_ref = ray.put(sup_lut)
+    from .relational import _broadcast_max_rows
+
+    sup_ds = rd.read_parquet(_pq(sf_dir, "supplier"),
+                             columns=["s_suppkey", "s_nationkey"])
+    if broadcast_supplier is None:
+        broadcast_supplier = sup_ds.count() <= _broadcast_max_rows()
 
     n = _join_partitions()
     oc = orders.join(cust, join_type="inner", num_partitions=n,
@@ -93,29 +97,50 @@ def q5_nation_volume(sf_dir: str) -> rd.Dataset:
     j = li.join(oc, join_type="inner", num_partitions=n,
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
-    class SameNation:
-        """Per-actor: fetch the broadcast supplier LUT once, then filter
-        each batch to supplier-nation == customer-nation and project the
-        nation name."""
+    if broadcast_supplier:
+        sup = sup_ds.to_pandas()
+        sup_lut = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+        sup_lut[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+        sup_ref = ray.put(sup_lut)
 
-        def __init__(self, ref, names: dict[int, str]):
-            self.lut = ray.get(ref)
-            self.names = names
+        class SameNation:
+            """Per-actor: fetch the broadcast supplier LUT once, then filter
+            each batch to supplier-nation == customer-nation and project the
+            nation name."""
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            supk = t["l_suppkey"].combine_chunks().to_numpy()
-            s_nat = self.lut[supk]
+            def __init__(self, ref, names: dict[int, str]):
+                self.lut = ray.get(ref)
+                self.names = names
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                supk = t["l_suppkey"].combine_chunks().to_numpy()
+                s_nat = self.lut[supk]
+                c_nat = pc.cast(t["c_nationkey"], pa.int64()).combine_chunks().to_numpy()
+                keep = s_nat == c_nat
+                nk = c_nat[keep]
+                names = pd.Series(nk).map(self.names).to_numpy(dtype=object)
+                return pa.table({
+                    "n_name": pa.array(names, pa.string()),
+                    "rev_e4": t["rev_e4"].filter(pa.array(keep)),
+                })
+
+        matched = j.map_batches(SameNation, fn_constructor_args=(sup_ref, nat_name),
+                                batch_format="pyarrow", concurrency=(1, 8))
+    else:
+        js = j.join(sup_ds, join_type="inner", num_partitions=n,
+                    on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def same_nation_join(t: pa.Table) -> pa.Table:
+            s_nat = pc.cast(t["s_nationkey"], pa.int64()).combine_chunks().to_numpy()
             c_nat = pc.cast(t["c_nationkey"], pa.int64()).combine_chunks().to_numpy()
             keep = s_nat == c_nat
-            nk = c_nat[keep]
-            names = pd.Series(nk).map(self.names).to_numpy(dtype=object)
+            names = pd.Series(c_nat[keep]).map(nat_name).to_numpy(dtype=object)
             return pa.table({
                 "n_name": pa.array(names, pa.string()),
                 "rev_e4": t["rev_e4"].filter(pa.array(keep)),
             })
 
-    matched = j.map_batches(SameNation, fn_constructor_args=(sup_ref, nat_name),
-                            batch_format="pyarrow", concurrency=(1, 8))
+        matched = js.map_batches(same_nation_join, batch_format="pyarrow")
     agg = matched.groupby("n_name").aggregate(Sum("rev_e4", alias_name="rev_e4"))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -391,9 +416,12 @@ def q17_avg_yearly(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
 
     Ray plan (no correlated re-scan, one pass + one tiny groupby):
     - the brand's partkeys are a selective dimension slice (1/|brands| of
-      part) → broadcast key set, map-side prune of lineitem (at 100 TB,
-      swap the exact set for ``stages.bloomjoin`` when the slice outgrows
-      the broadcast budget);
+      part — BOUNDED: even at 100 TB that is ~2e6 int64 keys ≈ 16 MB,
+      inside the broadcast budget) → broadcast key set, map-side prune of
+      lineitem.  # documented-alternative: for an UNBOUNDED prune set the
+      # same shape runs through ``stages.bloomjoin`` (distributed partial
+      # blooms, map-side prune, exact join on survivors) — exercised as
+      # its own operator, q_lineitem_bloom_semi;
     - the pruned projection (partkey + 2 int64-cents cols, ~24 B/row) is
       materialized once and consumed twice: per-part (sum_qty, n) via a
       combining groupby, then the threshold filter;

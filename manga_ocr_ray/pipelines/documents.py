@@ -1017,9 +1017,11 @@ def q_doc_repeated_spans(sf_dir: str, k: int = 3) -> rd.Dataset:
     Plan (corpus shuffles k-gram strings once, ~20 B/row):
     - gram stream (vectorized, `_doc_grams`) → distinct (g, doc) pairs via
       one combining groupby → grams with doc-count > 1 (the duplicated-gram
-      vocabulary, sublinear) — broadcast back as a membership set (at 100 TB
-      swap the broadcast for a hash join on g: same shape as the TF-IDF idf
-      lookup swap);
+      vocabulary, sublinear) — met by the gram stream via the shared
+      cardinality switch (``relational._broadcast_max_rows``): small dup
+      vocab → broadcast membership set; large → hash join on ``g`` with
+      cardinality-sized partitions (the TF-IDF idf pattern — a 10^9-gram
+      dup table would OOM the driver as a pandas Index);
     - the gram stream re-derives (cheap kernels — recompute beats pinning a
       corpus-sized intermediate) and keeps only duplicated positions;
     - maximal runs via the gaps-and-islands trick per doc — hash-shard by
@@ -1027,26 +1029,33 @@ def q_doc_repeated_spans(sf_dir: str, k: int = 3) -> rd.Dataset:
       within a run), outputs (doc_id, span_start, span_tokens)."""
     import ray as _ray
 
-    from .relational import _shard_by_int
+    from .relational import _broadcast_max_rows, _join_partitions, _shard_by_int
 
     grams = _doc_grams(sf_dir, k)
     dup = grams.groupby(["g", "doc_id"]).aggregate(Count(alias_name="_c")) \
                .groupby("g").aggregate(Count(alias_name="nd"))
-    dup_pd = dup.map_batches(
+    dup = dup.map_batches(
         lambda t: t.filter(pc.greater(t["nd"], pa.scalar(1))).select(["g"]),
-        batch_format="pyarrow").to_pandas()
-    dup_ref = _ray.put(pd.Index(dup_pd["g"]))
+        batch_format="pyarrow").materialize()
+    n_dup = dup.count()
 
-    class Mark:
-        def __init__(self, ref):
-            self.dup = _ray.get(ref)
+    if n_dup > _broadcast_max_rows():
+        n_parts = max(1, min(_join_partitions(), n_dup // 1000))
+        marked = grams.join(dup, join_type="inner", num_partitions=n_parts,
+                            on=("g",)).select_columns(["doc_id", "pos"])
+    else:
+        dup_ref = _ray.put(pd.Index(dup.to_pandas()["g"]))
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            m = b["g"].isin(self.dup).to_numpy()
-            return b.loc[m, ["doc_id", "pos"]]
+        class Mark:
+            def __init__(self, ref):
+                self.dup = _ray.get(ref)
 
-    marked = grams.map_batches(Mark, fn_constructor_args=(dup_ref,),
-                               batch_format="pandas", concurrency=(1, 8))
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                m = b["g"].isin(self.dup).to_numpy()
+                return b.loc[m, ["doc_id", "pos"]]
+
+        marked = grams.map_batches(Mark, fn_constructor_args=(dup_ref,),
+                                   batch_format="pandas", concurrency=(1, 8))
 
     def islands(gdf: pd.DataFrame) -> pd.DataFrame:
         gdf = gdf.sort_values(["doc_id", "pos"], kind="mergesort")

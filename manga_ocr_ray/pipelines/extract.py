@@ -36,6 +36,43 @@ OUTPUT_COLUMNS = [
     "extracted_text", "raw_chars", "extracted_chars", "bucket",
 ]
 
+# Adaptive batching (SURVEY §7.5): cap the bytes one extractor batch holds so
+# MB-sized tool payloads can't blow an actor's heap at a fixed ROW count
+# (1024 rows × 4 MB payloads × pool size = tens of GB).  Knob is bytes, not
+# rows, because payload width varies 5 orders of magnitude across corpora.
+TARGET_BATCH_BYTES = 32 << 20
+# Parquet metadata byte sizes reflect ENCODED data; assume up to 4× decode
+# expansion so the row estimate errs on the small side.
+_DECODE_EXPANSION = 4
+
+
+def _adaptive_batch_size(ds: rd.Dataset,
+                         target_bytes: int | None = None) -> int | None:
+    """Rows per batch derived from a metadata bytes/row estimate.
+
+    METADATA-ONLY by design: uses the plan's snapshot row count
+    (``_meta_count`` — known for parquet reads and materialized inputs,
+    ``None`` for lazy transformed plans) so sizing never executes the
+    pipeline.  Returns ``None`` (Ray's default batching) when the input's
+    size isn't known for free.  Clamped to [16, 1024]: the cap preserves the
+    narrow-row default; the floor keeps the extractor's per-batch overhead
+    amortized even at multi-MB payloads."""
+    import os
+
+    target = target_bytes or int(os.environ.get(
+        "GRAFT_TARGET_BATCH_BYTES", str(TARGET_BATCH_BYTES)))
+    try:
+        n = ds._meta_count()
+        if not n:
+            return None
+        b = ds.size_bytes()
+    except Exception:
+        return None
+    if not b:
+        return None
+    bytes_per_row = max(1, (b + n - 1) // n)
+    return int(min(1024, max(16, target // (_DECODE_EXPANSION * bytes_per_row))))
+
 
 def read_transcripts(path: str | list[str], columns: list[str] | None = None,
                      **read_kwargs) -> rd.Dataset:
@@ -72,6 +109,8 @@ def extract_turns(
 
         total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         concurrency = max(1, total - max(1, total // 4))
+    if batch_size is None:
+        batch_size = _adaptive_batch_size(ds)
     skip = np.array(sorted(skip_buckets or ()), dtype=np.int32)
 
     def add_bucket(batch: pa.Table) -> pa.Table:

@@ -51,10 +51,11 @@ _LUMA = np.array([0.299, 0.587, 0.114])
 
 class Codec:
     """Format-sniffing decoder.  BMP / PPM / PGM / WAV decode for REAL
-    (imagecodec.py); PNG/JPEG raise NotImplementedError naming the missing
-    lib; ``fake=True`` additionally decodes *unknown* payloads as
-    deterministic pseudo-pixels so pipelines stay testable with arbitrary
-    bytes."""
+    (imagecodec.py); PNG/JPEG decode through PIL when it is importable
+    (the reference's Image.open path, manga_ocr/ocr.py:102-110) and raise
+    NotImplementedError naming the missing lib otherwise; ``fake=True``
+    additionally decodes *unknown* payloads as deterministic pseudo-pixels
+    so pipelines stay testable with arbitrary bytes."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
@@ -66,7 +67,9 @@ class Codec:
         if kind in ("ppm", "pgm"):
             return decode_pnm(payload) @ _LUMA
         if kind in ("png", "jpeg"):
-            raise NotImplementedError(f"{kind} decode needs PIL/cv2 (not in this container)")
+            from ..functions.imagecodec import decode_pil
+
+            return decode_pil(payload) @ _LUMA
         if not self.fake:
             raise ValueError(f"undecodable image payload (format: {kind})")
         n = max(1, width * height)

@@ -311,3 +311,39 @@ def test_html_comment_region_interleaving():
     docs = [doc, doc2, doc3]
     batched = extract_main_html_array(pa.array(docs, pa.string())).to_pylist()
     assert batched == [extract_main_html(d) for d in docs]
+
+
+def test_adaptive_batch_size(ray_session):
+    """SURVEY §7.5 adaptive batching: wide payload rows shrink the extractor
+    batch (bytes knob, not rows); narrow rows keep the 1024 default; lazy
+    transformed inputs (size unknown without execution) fall through to
+    Ray's default."""
+    import ray.data as rd
+
+    from manga_ocr_ray.pipelines.extract import (_adaptive_batch_size,
+                                                 extract_turns)
+
+    # wide: 64 rows x ~1 MB payloads -> ~16-row batches
+    wide = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(64)]),
+        "turn_idx": pa.array(np.zeros(64, np.int32)),
+        "role": pa.array(["user"] * 64),
+        "text": pa.array(["x" * 1_000_000] * 64),
+        "tool": pa.array([None] * 64, pa.string()),
+        "ts": pa.array(np.zeros(64, "datetime64[us]")),
+    })
+    ds = rd.from_arrow(wide)
+    bs = _adaptive_batch_size(ds)
+    assert bs is not None and 16 <= bs <= 64
+
+    # narrow: clamps to the 1024 default
+    narrow = rd.from_arrow(pa.table({"text": pa.array(["hi"] * 1000)}))
+    assert _adaptive_batch_size(narrow) == 1024
+
+    # lazy transformed plan: metadata unknown -> None (never executes)
+    lazy = rd.range(10).map_batches(lambda t: t, batch_format="pyarrow")
+    assert _adaptive_batch_size(lazy) is None
+
+    # end-to-end over the wide corpus still extracts every row
+    out = extract_turns(ds, num_buckets=4, concurrency=(1, 2))
+    assert out.count() == 64

@@ -117,3 +117,43 @@ def test_ja_segment_registry_step():
     for row, text in zip(rows, texts):
         assert row["ja_chunks"] == parse(text, DEFAULT_JA_MODEL)
         assert row["n_ja_chunks"] == len(row["ja_chunks"])
+
+
+def test_trigram_features_hand_trained_model():
+    """The TW1-TW4 trigram templates (empty in DEFAULT_JA_MODEL) with a small
+    hand-trained model: hand-derived golden splits + scalar/vectorized
+    equality, so a real BudouX JSON model's trigram weights are exercised
+    end-to-end.  Window semantics under test: TW2 = chars (i-2, i-1, i),
+    TW3 = (i-1, i, i+1), guards drop a feature whose window leaves the
+    string."""
+    from manga_ocr_ray.functions.jatok import JaSegmenter
+
+    model = {
+        "__bias__": 0.0,
+        # break BEFORE the char following 'ABC' (TW1 window i-3..i-1)
+        "TW1": {"ABC": 10.0},
+        # break AT 'z' when preceded by 'xy' (TW2 window i-2..i)
+        "TW2": {"xyz": 10.0},
+        # suppress the xyz break when 'q' follows (TW3 window i-1..i+1)
+        "TW3": {"yzq": -20.0},
+        # break two chars BEFORE a 'END' trigram (TW4 window i..i+2)
+        "TW4": {"END": 10.0},
+    }
+    cases = {
+        # TW1: break before 'd' (i=4, window chars 1..3 = 'ABC')... i-3..i-1
+        "xABCd": ["xABC", "d"],
+        # TW2 fires at i of 'z'
+        "wxyzw": ["wxy", "zw"],
+        # TW3 veto: 'q' after the z cancels the TW2 vote
+        "wxyzq": ["wxyzq"],
+        # TW4: break where the NEXT three chars are 'END'; guard keeps the
+        # string-final window from firing out of range
+        "aaENDbb": ["aa", "ENDbb"],
+        # TW1 window needs i>=3: 'ABCx' must NOT break at i=3... it does
+        # (window 0..2 in range) but never at i<3
+        "ABCx": ["ABC", "x"],
+    }
+    for text, want in cases.items():
+        assert parse(text, model) == want, text
+    got = JaSegmenter(model).segment_batch(list(cases))
+    assert got == [parse(t, model) for t in cases], "vectorized != scalar"

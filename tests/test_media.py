@@ -183,3 +183,52 @@ def test_external_tool_pipeline_ray(ray_session):
     assert len(out) == 24
     assert out["tool_error"].isna().all()
     assert set(out["tool_kind"]) == {"bmp", "ppm", "wav"}
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n" + b"fakebody"
+
+
+def test_pil_dispatch_without_pil():
+    """In this container PIL is absent: PNG/JPEG payloads must raise
+    NotImplementedError naming PIL, through both dispatch layers."""
+    from manga_ocr_ray.functions import imagecodec as ic
+    from manga_ocr_ray.stages.media import Codec
+
+    assert not ic.pil_available()
+    with pytest.raises(NotImplementedError, match="PIL"):
+        ic.decode_image_any(_PNG_MAGIC)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        Codec().decode_image(_PNG_MAGIC, 4, 4)
+
+
+def test_pil_dispatch_with_pil(monkeypatch):
+    """With PIL importable (stubbed here), PNG/JPEG payloads decode through
+    Image.open(...).convert('RGB') — the reference's load path."""
+    from manga_ocr_ray.functions import imagecodec as ic
+    from manga_ocr_ray.stages.media import Codec
+
+    rgb = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+
+    class _Im:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return rgb
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _PIL:
+        @staticmethod
+        def open(buf):
+            assert buf.read(8) == _PNG_MAGIC[:8]
+            return _Im()
+
+    monkeypatch.setattr(ic, "_PILImage", _PIL)
+    assert ic.pil_available()
+    out = ic.decode_image_any(_PNG_MAGIC)
+    assert out.shape == (4, 3, 3) and (out == rgb).all()
+    gray = Codec().decode_image(_PNG_MAGIC, 3, 4)
+    assert gray.shape == (4, 3)
