@@ -652,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from manga_ocr_ray.pipelines import analytic as A
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
+    from manga_ocr_ray.pipelines import tpch as T
+    from manga_ocr_ray.pipelines import textprep as X
 
     return {
         # flagship transcript pipelines (oracle = golden expected table —
@@ -755,6 +757,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": D.q_doc_top_tokens,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
+        # round-4 TPC-H wave (pipelines/tpch.py)
+        "q6_forecast_revenue": T.q6_forecast_revenue,
+        "q4_order_priority": T.q4_order_priority,
+        "q10_returned_items": T.q10_returned_items,
+        "q14_promo_effect": T.q14_promo_effect,
+        "q15_top_supplier": T.q15_top_supplier,
+        "q18_large_orders": T.q18_large_orders,
+        "q22_idle_customers": T.q22_idle_customers,
+        # round-4 text-prep wave (pipelines/textprep.py)
+        "doc_chunk_windows": X.q_doc_chunk_windows,
+        "doc_winnowing": X.q_doc_winnowing,
+        "doc_bpe_pairs": X.q_doc_bpe_pairs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "spec_clean": _q_spec_clean,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -776,6 +790,8 @@ def oracle_sql() -> dict[str, str]:
     from manga_ocr_ray.pipelines import analytic as A
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
+    from manga_ocr_ray.pipelines import tpch as T
+    from manga_ocr_ray.pipelines import textprep as X
 
     return {
         # round-3 analytic families
@@ -838,6 +854,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_classes": R.Q_DOC_CHAR_CLASSES_SQL,
         "customers_no_orders": R.Q_CUSTOMERS_NO_ORDERS_SQL,
         "suppliers_with_bigparts": R.Q_SUPPLIERS_WITH_BIGPARTS_SQL,
+        "q6_forecast_revenue": T.Q6_FORECAST_REVENUE_SQL,
+        "q4_order_priority": T.Q4_ORDER_PRIORITY_SQL,
+        "q10_returned_items": T.Q10_RETURNED_ITEMS_SQL,
+        "q14_promo_effect": T.Q14_PROMO_EFFECT_SQL,
+        "q15_top_supplier": T.Q15_TOP_SUPPLIER_SQL,
+        "q18_large_orders": T.Q18_LARGE_ORDERS_SQL,
+        "q22_idle_customers": T.Q22_IDLE_CUSTOMERS_SQL,
+        "doc_chunk_windows": X.Q_DOC_CHUNK_WINDOWS_SQL,
+        "doc_winnowing": X.Q_DOC_WINNOWING_SQL,
+        "doc_bpe_pairs": X.Q_DOC_BPE_PAIRS_SQL,
         "event_types": R.Q_EVENT_TYPES_SQL,
         "events_moving_avg": R.Q_EVENTS_MOVING_AVG_SQL,
         "events_range_join": R.Q_EVENTS_RANGE_JOIN_SQL,

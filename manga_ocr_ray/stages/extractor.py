@@ -27,6 +27,7 @@ orders, as the per-turn-equality invariant requires.
 from __future__ import annotations
 
 import json
+from typing import Any
 
 import numpy as np
 import pyarrow as pa
@@ -213,3 +214,33 @@ def strip_only_batch(batch: pa.Table, text_col: str = "text",
     queries; the flagship pipeline uses ExtractorActor instead.
     """
     return batch.append_column(out_col, strip_html_array(batch[text_col].combine_chunks()))
+
+
+# ---- reusable-worker task mode ----------------------------------------------
+#
+# The default execution mode for the flagship extraction stage.  The
+# extractor's per-process state is CHEAP (compiled regexes + translate caches
+# + one warm-up batch, ~50 ms) — far below the bar that justifies a dedicated
+# actor pool.  Running the stage as plain map_batches TASKS keeps the work in
+# Ray's long-lived, reusable task workers: state builds once per worker
+# process on first use and persists across Dataset executions, so repeated /
+# incremental jobs pay ZERO per-execution spawn cost (measured at 32 CPUs:
+# a fresh 24-actor pool costs ~1.2 s per execution — processes + imports —
+# vs ~0.1 s for warm task workers), and the read/extract/write stages share
+# the CPU pool under the streaming executor's own backpressure instead of a
+# static 75/25 split.  The actor-pool path (``pool="actor"``) remains the
+# right call for HEAVY state — media codecs, external worker subprocesses,
+# model weights — and for per-actor fault isolation (max_restarts).
+
+_TASK_CACHE: dict[tuple, ExtractorActor] = {}
+
+
+def extract_batch_task(batch: pa.Table, **cfg: Any) -> pa.Table:
+    """Module-level task entrypoint: get-or-build the process-local extractor
+    for this config and apply it.  Pure function of (batch, cfg) — the cache
+    only memoizes deterministic setup, never data."""
+    key = tuple(sorted(cfg.items()))
+    actor = _TASK_CACHE.get(key)
+    if actor is None:
+        actor = _TASK_CACHE.setdefault(key, ExtractorActor(**cfg))
+    return actor(batch)

@@ -37,7 +37,11 @@ def main() -> None:
             time.sleep(180)
             continue
         print(f"probe: eff_cores={eff:.1f} steal={steal:.1f}%", flush=True)
-        if eff >= 24 and steal < 3:
+        # Fire gate raised round 4: the (8,32) ratio is work-conserving, so
+        # measured efficiency ≈ delivered_cores/32 whenever the hypervisor
+        # caps below 32 — a 24-core window mathematically cannot show ≥0.8.
+        # Only fire when the probe sees ≥27 effective cores.
+        if eff >= 27 and steal < 1:
             print("QUIET — firing bench.py --scaling (8,32)", flush=True)
             # The bench run itself can be squeezed out mid-flight (timeout,
             # OOM-kill); a failure must put the watcher back in the loop, not

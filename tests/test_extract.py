@@ -4,6 +4,7 @@ exact equality against a generated expected fixture)."""
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -347,3 +348,27 @@ def test_adaptive_batch_size(ray_session):
     # end-to-end over the wide corpus still extracts every row
     out = extract_turns(ds, num_buckets=4, concurrency=(1, 2))
     assert out.count() == 64
+
+
+def test_task_mode_matches_actor_pool(ray_session):
+    """The default reusable-worker task mode and the actor-pool mode run the
+    identical kernel — outputs must be bit-equal, and the task-mode cache
+    must key on config (quarantine run can't reuse the plain instance)."""
+    from manga_ocr_ray.corpus import transcripts_dataset
+    from manga_ocr_ray.pipelines.extract import extract_turns
+
+    ds = transcripts_dataset(60, seed=11).materialize()
+    key = ["conv_id", "turn_idx"]
+    task = extract_turns(ds, num_buckets=4, pool="task").to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    actor = extract_turns(ds, num_buckets=4, pool="actor",
+                          concurrency=(1, 2)).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(task, actor)
+
+    q = extract_turns(ds, num_buckets=4, pool="task", quarantine=True) \
+        .to_pandas()
+    assert "extract_error" in q.columns and q["extract_error"].isna().all()
+
+    with pytest.raises(ValueError):
+        extract_turns(ds, pool="threads")
