@@ -769,6 +769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_windows": X.q_doc_chunk_windows,
         "doc_winnowing": X.q_doc_winnowing,
         "doc_bpe_pairs": X.q_doc_bpe_pairs,
+        "events_percent_rank": A.q_events_percent_rank,
+        "events_value_mad": A.q_events_value_mad,
+        "q7_two_nation_volume": A.q7_two_nation_volume,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "spec_clean": _q_spec_clean,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -864,6 +867,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk_windows": X.Q_DOC_CHUNK_WINDOWS_SQL,
         "doc_winnowing": X.Q_DOC_WINNOWING_SQL,
         "doc_bpe_pairs": X.Q_DOC_BPE_PAIRS_SQL,
+        "events_percent_rank": A.Q_EVENTS_PERCENT_RANK_SQL,
+        "events_value_mad": A.Q_EVENTS_VALUE_MAD_SQL,
+        "q7_two_nation_volume": A.Q7_TWO_NATION_VOLUME_SQL,
         "event_types": R.Q_EVENT_TYPES_SQL,
         "events_moving_avg": R.Q_EVENTS_MOVING_AVG_SQL,
         "events_range_join": R.Q_EVENTS_RANGE_JOIN_SQL,

@@ -145,6 +145,8 @@ def run_queries() -> dict[str, float]:
         # round-3 late-wave families
         "doc_line_dedup", "doc_bigram_lm", "events_trailing_hour",
         "doc_token_pagerank",
+        # round-4 wave
+        "q10_returned_items", "doc_winnowing", "doc_chunk_windows",
     ]
     out: dict[str, float] = {}
     for name in chosen:

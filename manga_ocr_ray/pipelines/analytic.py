@@ -1160,3 +1160,205 @@ SELECT event_type,
        regr_intercept(value, epoch(ts) / 86400.0) AS intercept
 FROM events GROUP BY event_type
 """
+
+
+# ---- round-4 additions -------------------------------------------------------
+
+def q_events_percent_rank(sf_dir: str) -> rd.Dataset:
+    """Per-user ``percent_rank`` and ``cume_dist`` of ``value`` — the
+    normalized-rank window pair (ties share ranks: pr = (min_rank−1)/(n−1),
+    cd = max_rank/n).  Sharded-entity pattern (``_shard_by_int``): the only
+    exchange is the shard groupby; every rank computation is a vectorized
+    pandas pass across ALL of a shard's users."""
+    from .relational import _pq as _p, _shard_by_int
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "user_id", "value"])
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id", sort=False)["value"]
+        n = grp.transform("size").to_numpy(dtype=np.float64)
+        rmin = grp.rank(method="min").to_numpy()
+        rmax = grp.rank(method="max").to_numpy()
+        pr = np.where(n > 1, (rmin - 1) / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "pr": pr, "cd": rmax / n})
+
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        ranks, batch_format="pandas")
+
+
+Q_EVENTS_PERCENT_RANK_SQL = """
+SELECT event_id, user_id,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+       cume_dist()    OVER (PARTITION BY user_id ORDER BY value) AS cd
+FROM events
+"""
+
+
+def q_events_value_mad(sf_dir: str) -> rd.Dataset:
+    """Per-user median and median-absolute-deviation of ``value`` — the
+    robust-statistics pair (outlier-resistant quality gating).  Medians are
+    exact selections, not streaming-summable, so this uses the sharded
+    map_groups pattern: two vectorized per-shard passes (median, then
+    median of |x−median|), shuffle = one shard groupby."""
+    from .relational import _pq as _p, _shard_by_int
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id", sort=False)["value"]
+        med = grp.transform("median")
+        dev = (g["value"] - med).abs()
+        out = pd.DataFrame({"user_id": g["user_id"], "med": med, "dev": dev}) \
+            .groupby("user_id", sort=False).agg(
+                med=("med", "first"), mad=("dev", "median")).reset_index()
+        return out
+
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        mad, batch_format="pandas")
+
+
+Q_EVENTS_VALUE_MAD_SQL = """
+SELECT user_id, CAST(median(value) AS DOUBLE) AS med,
+       CAST(mad(value) AS DOUBLE) AS mad
+FROM events GROUP BY user_id
+"""
+
+
+def q7_two_nation_volume(sf_dir: str, nation_a: str = "NATION_3",
+                         nation_b: str = "NATION_7") -> rd.Dataset:
+    """Shipping volume between two nations by direction and year (TPC-H Q7
+    shape): line items shipped 1996-1997 where the supplier sits in one
+    nation and the ordering customer in the other.
+
+    Plan reuses Q5's join discipline: orders ⋈ customer hash join on
+    custkey (customer nation projected), lineitem hash-joins that stream on
+    orderkey, supplier meets it through the shared cardinality switch
+    (broadcast suppkey→nationkey below ``_broadcast_max_rows``, hash join
+    above); the two-nation filter is map-side either way, and the final
+    groupby is 4 rows per year."""
+    nation = pd.read_parquet(_pq(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    keys = {n: int(k) for k, n in zip(nation["n_nationkey"], nation["n_name"])}
+    ka, kb = keys[nation_a], keys[nation_b]
+    names = {ka: nation_a, kb: nation_b}
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                                    value_set=pa.array([ka, kb], pa.int64()))),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                             pc.less(t["l_shipdate"], pa.scalar(hi))))
+        r = pc.multiply(_cents(t["l_extendedprice"]),
+                        pc.subtract(pa.scalar(100, pa.int64()),
+                                    _cents(t["l_discount"])))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": pc.year(t["l_shipdate"]),
+                         "rev_e4": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    # partitions sized to the SELECTIVE side's cardinality (2/25 of
+    # customers): empty hash partitions lose their schema inside Acero —
+    # the q_doc_bigram_lm wedge guard, scaling up with the data
+    cust = cust.materialize()
+    n = max(1, min(_join_partitions(), cust.count() // 1000))
+    oc = orders.join(cust, join_type="inner", num_partitions=n,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(oc, join_type="inner", num_partitions=n,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    from .relational import _broadcast_max_rows
+
+    sup_ds = rd.read_parquet(_pq(sf_dir, "supplier"),
+                             columns=["s_suppkey", "s_nationkey"])
+    if sup_ds.count() <= _broadcast_max_rows():
+        sup = sup_ds.to_pandas()
+        lut = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+        lut[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+        ref = ray.put(lut)
+
+        class PairFilter:
+            def __init__(self, r):
+                self.lut = ray.get(r)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                s_nat = self.lut[t["l_suppkey"].combine_chunks().to_numpy()]
+                c_nat = pc.cast(t["c_nationkey"], pa.int64()) \
+                          .combine_chunks().to_numpy()
+                keep = (((s_nat == np.int64(ka)) & (c_nat == np.int64(kb)))
+                        | ((s_nat == np.int64(kb)) & (c_nat == np.int64(ka))))
+                m = pa.array(keep)
+                sn = pd.Series(s_nat[keep]).map(names).to_numpy(dtype=object)
+                cn = pd.Series(c_nat[keep]).map(names).to_numpy(dtype=object)
+                return pa.table({
+                    "supp_nation": pa.array(sn, pa.string()),
+                    "cust_nation": pa.array(cn, pa.string()),
+                    "l_year": t["l_year"].filter(m),
+                    "rev_e4": t["rev_e4"].filter(m)})
+
+        matched = j.map_batches(PairFilter, fn_constructor_args=(ref,),
+                                batch_format="pyarrow", concurrency=(1, 8))
+    else:
+        js = j.join(sup_ds, join_type="inner", num_partitions=n,
+                    on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def pair_filter(t: pa.Table) -> pa.Table:
+            s_nat = pc.cast(t["s_nationkey"], pa.int64()) \
+                      .combine_chunks().to_numpy()
+            c_nat = pc.cast(t["c_nationkey"], pa.int64()) \
+                      .combine_chunks().to_numpy()
+            keep = (((s_nat == np.int64(ka)) & (c_nat == np.int64(kb)))
+                    | ((s_nat == np.int64(kb)) & (c_nat == np.int64(ka))))
+            m = pa.array(keep)
+            sn = pd.Series(s_nat[keep]).map(names).to_numpy(dtype=object)
+            cn = pd.Series(c_nat[keep]).map(names).to_numpy(dtype=object)
+            return pa.table({
+                "supp_nation": pa.array(sn, pa.string()),
+                "cust_nation": pa.array(cn, pa.string()),
+                "l_year": t["l_year"].filter(m),
+                "rev_e4": t["rev_e4"].filter(m)})
+
+        matched = js.map_batches(pair_filter, batch_format="pyarrow")
+
+    agg = matched.groupby(["supp_nation", "cust_nation", "l_year"]) \
+                 .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "supp_nation": t["supp_nation"], "cust_nation": t["cust_nation"],
+            "l_year": pc.cast(t["l_year"], pa.int64()),
+            "revenue": pc.divide(pc.cast(t["rev_e4"], pa.float64()),
+                                 pa.scalar(10000.0))}),
+        batch_format="pyarrow").sort(["supp_nation", "cust_nation", "l_year"])
+
+
+Q7_TWO_NATION_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""

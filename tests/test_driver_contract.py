@@ -157,3 +157,31 @@ def test_round3_wave5_rowcounts(entrymod, con):
         want = con.sql(entrymod.oracle_sql()[name]).df()
         assert len(got) == len(want), name
         assert sorted(got.columns) == sorted(want.columns), name
+
+
+def test_round4_wave_rowcounts(entrymod, con):
+    """Round-4 wave: TPC-H Q4/Q6/Q7/Q10/Q14/Q15/Q18/Q22, chunking,
+    winnowing, BPE pairs, percent_rank/cume_dist, per-user MAD (value-hash
+    gate = check_oracle.py / the driver)."""
+    for name in ["q6_forecast_revenue", "q4_order_priority",
+                 "q10_returned_items", "q14_promo_effect", "q15_top_supplier",
+                 "q18_large_orders", "q22_idle_customers",
+                 "q7_two_nation_volume", "doc_chunk_windows", "doc_winnowing",
+                 "doc_bpe_pairs", "events_percent_rank", "events_value_mad"]:
+        got = entrymod.queries()[name](SF_DIR)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(entrymod.oracle_sql()[name]).df()
+        assert len(got) == len(want), name
+        assert sorted(got.columns) == sorted(want.columns), name
+
+
+def test_q14_join_path_agrees(entrymod, con, monkeypatch):
+    """Q14's dim side through BOTH the broadcast plan and the forced
+    hash-join plan (the 100-TB path) — values must match the oracle."""
+    want = con.sql(entrymod.oracle_sql()["q14_promo_effect"]).df()
+    for env in ["0", "5000000"]:
+        monkeypatch.setenv("GRAFT_BROADCAST_MAX_ROWS", env)
+        got = entrymod.queries()["q14_promo_effect"](SF_DIR)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        assert abs(float(got["promo_revenue"][0])
+                   - float(want["promo_revenue"][0])) < 1e-9, env
