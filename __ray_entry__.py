@@ -772,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": A.q_events_percent_rank,
         "events_value_mad": A.q_events_value_mad,
         "q7_two_nation_volume": A.q7_two_nation_volume,
+        "events_funnel_latency": A.q_events_funnel_latency,
+        "doc_weighted_sample": A.q_doc_weighted_sample,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "spec_clean": _q_spec_clean,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -870,6 +872,8 @@ def oracle_sql() -> dict[str, str]:
         "events_percent_rank": A.Q_EVENTS_PERCENT_RANK_SQL,
         "events_value_mad": A.Q_EVENTS_VALUE_MAD_SQL,
         "q7_two_nation_volume": A.Q7_TWO_NATION_VOLUME_SQL,
+        "events_funnel_latency": A.Q_EVENTS_FUNNEL_LATENCY_SQL,
+        "doc_weighted_sample": A.Q_DOC_WEIGHTED_SAMPLE_SQL,
         "event_types": R.Q_EVENT_TYPES_SQL,
         "events_moving_avg": R.Q_EVENTS_MOVING_AVG_SQL,
         "events_range_join": R.Q_EVENTS_RANGE_JOIN_SQL,

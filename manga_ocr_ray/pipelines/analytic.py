@@ -645,6 +645,18 @@ def q_events_cohort_retention(sf_dir: str) -> rd.Dataset:
         Min("day", alias_name="cohort")).materialize()
     n_users = firsts.count()
 
+    # distinct (cohort, offset, user) ≡ distinct (user, day) — cohort and
+    # offset are FUNCTIONS of (user, day) — so dedupe on the narrow pair
+    # FIRST with the sharded vectorized pass (one single-int-key exchange;
+    # the 3-key Aggregate this replaces measured 7.3 s on 100 k rows vs
+    # ~1.5 s for this plan: multi-key sort-aggregate pays per-key overhead
+    # per block)
+    from .relational import _shard_by_int
+
+    days = _shard_by_int(days, "user_id").groupby("shard").map_groups(
+        lambda g: g.drop_duplicates(["user_id", "day"])[["user_id", "day"]],
+        batch_format="pandas")
+
     if n_users > _broadcast_max_rows():
         n_parts = max(1, min(_join_partitions(), n_users // 1000))
         joined = days.join(firsts, join_type="inner", num_partitions=n_parts,
@@ -677,15 +689,24 @@ def q_events_cohort_retention(sf_dir: str) -> rd.Dataset:
         offs = days.map_batches(Offset, fn_constructor_args=(cohort_ref,),
                                 batch_format="pandas", concurrency=(1, 8))
 
-    dist = offs.groupby(["cohort_di", "day_offset", "user_id"]) \
-               .aggregate(Count(alias_name="_c")) \
-               .groupby(["cohort_di", "day_offset"]) \
-               .aggregate(Count(alias_name="n_users"))
+    # input is already (user, day)-distinct → count per cell on ONE fused
+    # int64 key (cohort·2^16 + offset; offsets are bounded by the corpus
+    # day span, asserted < 2^16 ≈ 180 years) — the single-key groupby fast
+    # path, then unpack
+    def fuse(t: pa.Table) -> pa.Table:
+        c = t["cohort_di"].combine_chunks().to_numpy().astype(np.int64)
+        o = t["day_offset"].combine_chunks().to_numpy()
+        assert not len(o) or o.max() < (1 << 16), "day span exceeds fuse budget"
+        return pa.table({"k": pa.array((c << 16) | o)})
+
+    dist = offs.map_batches(fuse, batch_format="pyarrow") \
+               .groupby("k").aggregate(Count(alias_name="n_users"))
 
     def finish(t: pa.Table) -> pa.Table:
-        di = t["cohort_di"].combine_chunks().to_numpy().astype("datetime64[D]")
+        k = t["k"].combine_chunks().to_numpy()
+        di = (k >> 16).astype(np.int32).astype("datetime64[D]")
         return pa.table({"cohort_day": pa.array(di.astype(str)),
-                         "day_offset": t["day_offset"],
+                         "day_offset": pa.array(k & 0xFFFF, pa.int64()),
                          "n_users": pc.cast(t["n_users"], pa.int64())})
 
     return dist.map_batches(finish, batch_format="pyarrow")
@@ -1361,4 +1382,76 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
 GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
 ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_events_funnel_latency(sf_dir: str) -> rd.Dataset:
+    """Per-user conversion latency: seconds from the first 'view' to the
+    first 'click' strictly after it (users who reached funnel stage ≥ 2).
+    The time-to-convert companion of ``q_events_funnel`` — same single
+    user-keyed shard exchange, two vectorized per-shard min-reductions."""
+    from .relational import _shard_by_int
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def lat(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+        clicks = g[g["event_type"] == "click"]
+        cut = clicks["user_id"].map(t1)
+        clicks = clicks[clicks["ts"] > cut]
+        t2 = clicks.groupby("user_id")["ts"].min()
+        out = pd.DataFrame({"t2": t2}).join(pd.DataFrame({"t1": t1}), how="inner")
+        return pd.DataFrame({
+            "user_id": out.index.to_numpy(),
+            "latency_sec": (out["t2"] - out["t1"]).dt.total_seconds().to_numpy()})
+
+    return _shard_by_int(ds, "user_id").groupby("shard").map_groups(
+        lat, batch_format="pandas")
+
+
+Q_EVENTS_FUNNEL_LATENCY_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id)
+SELECT user_id, (epoch(t2) - epoch(t1)) AS latency_sec
+FROM v JOIN c USING (user_id)
+"""
+
+
+def q_doc_weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each doc draws u = md5-uniform(doc_id) ∈ (0,1] and the
+    k smallest −ln(u)/weight win (weight = n_chars: long docs
+    proportionally likelier).  One map pass computes keys vectorized (the
+    batched DuckDB-md5 gate — no RNG state, any cluster size draws the
+    same sample); selection is a distributed sort + limit, so no
+    corpus-sized driver materialization.  The oracle computes the identical
+    key formula (CAST(h AS DOUBLE) + 1 mirrors the numpy float path)."""
+    from ..functions.hashing import md5_gate64
+
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "n_chars"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        h = md5_gate64(t["doc_id"].combine_chunks(), salt="ws1")
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = t["n_chars"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "skey": pa.array(-np.log(u) / w)})
+
+    sel = docs.map_batches(keys, batch_format="pyarrow") \
+              .sort(["skey", "doc_id"]).limit(k).to_pandas()
+    return sel[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DOC_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         -ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws1'),
+                                        1, 16)) AS UBIGINT) AS DOUBLE) + 1.0)
+             / 18446744073709551616.0) / n_chars AS skey
+  FROM documents)
+SELECT doc_id FROM keyed ORDER BY skey, doc_id LIMIT 100
 """
