@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
@@ -1353,10 +1354,15 @@ def _bigrams_batch(t: pa.Table) -> pa.Table:
     same_doc = doc_ids[1:] == doc_ids[:-1]
     toks = ex["token"].combine_chunks()
     mask = pa.array(same_doc)
+    prev = toks.slice(0, len(toks) - 1).filter(mask)
+    cur = toks.slice(1).filter(mask)
     return pa.table({
         "doc_id": pa.array(doc_ids[:-1][same_doc], pa.int64()),
-        "prev": toks.slice(0, len(toks) - 1).filter(mask),
-        "cur": toks.slice(1).filter(mask),
+        "prev": prev,
+        "cur": cur,
+        # fused single-string pair key: single-key groupbys/joins take the
+        # fast path (multi-key sort-aggregates pay per-key per-block cost)
+        "pair": pc.binary_join_element_wise(prev, cur, "\x00"),
     })
 
 
@@ -1367,35 +1373,75 @@ def q_doc_bigram_lm(sf_dir: str) -> rd.Dataset:
     adjacent pair, logp = ln(count(prev,cur) / count(prev as bigram head));
     score = -mean(logp).  High avg_nll = surprising token sequences.
 
-    Distributed plan: bigram construction is shuffle-free; the two count
-    groupbys and the two count joins key on the (short) token strings —
-    vocabulary-sized tables, tiny next to the pair stream; the final
-    per-doc reduce is a combining groupby Sum/Count."""
-    from .relational import _join_partitions
+    Distributed plan: bigram construction is shuffle-free; counts group on
+    SINGLE keys (the fused pair string and the head token).  The count
+    tables are vocabulary-sized, so they meet the pair stream through the
+    shared cardinality switch: below ``_broadcast_max_rows`` the per-pair
+    logp table broadcasts once and the pair stream never shuffles at all —
+    each batch looks up lp and emits per-doc PARTIAL sums, leaving one tiny
+    combining groupby; a web-scale vocabulary falls back to single-key hash
+    joins with cardinality-sized partitions (the bm25 wedge guard)."""
+    from .relational import _broadcast_max_rows, _join_partitions
 
     pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _bigrams_batch, batch_format="pyarrow")
-    c2 = pairs.groupby(["prev", "cur"]).aggregate(
-        Count(alias_name="c2")).materialize()
-    c1 = (pairs.select_columns(["prev"])
-          .groupby("prev").aggregate(Count(alias_name="c1"))).materialize()
-    # partitions sized to the (known) key cardinality: an empty hash
-    # partition of a vocabulary-sized side loses its schema inside Acero
-    # and kills the join (the bm25 wedge guard)
-    n_parts = max(1, min(_join_partitions(), c1.count() // 1000))
-    scored = (pairs.join(c2, join_type="inner", num_partitions=n_parts,
-                         on=("prev", "cur"))
-              .join(c1, join_type="inner", num_partitions=n_parts,
-                    on=("prev",)))
+    c2 = pairs.groupby("pair").aggregate(Count(alias_name="c2")).materialize()
+    # c1 (bigram-head counts) = sum of c2 per head: derived from the
+    # vocabulary-sized c2 table, NOT a second corpus-wide pass over pairs
 
-    def logp(t: pa.Table) -> pa.Table:
-        lp = np.log(t["c2"].to_numpy().astype(np.float64)
-                    / t["c1"].to_numpy().astype(np.float64))
-        return pa.table({"doc_id": t["doc_id"], "lp": pa.array(lp)})
+    if c2.count() <= _broadcast_max_rows():
+        c2p = c2.to_pandas()
+        heads = c2p["pair"].str.split("\x00", n=1).str[0]
+        c1_of_head = c2p.groupby(heads)["c2"].transform("sum")
+        lp = pd.Series(
+            np.log(c2p["c2"].to_numpy(np.float64)
+                   / c1_of_head.to_numpy(np.float64)),
+            index=c2p["pair"])
+        lp_ref = ray.put(lp)
 
-    agg = scored.map_batches(logp, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(Sum("lp", alias_name="sum_lp"),
-                                     Count(alias_name="n_bigrams"))
+        class DocNLL:
+            def __init__(self, ref):
+                self.lp = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                b = pd.DataFrame({
+                    "doc_id": t["doc_id"].combine_chunks().to_numpy(),
+                    "lp": pd.Series(t["pair"].combine_chunks()
+                                    .to_numpy(zero_copy_only=False))
+                          .map(self.lp).to_numpy(np.float64)})
+                g = b.groupby("doc_id", sort=False)["lp"] \
+                     .agg(["sum", "size"]).reset_index()
+                return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                                 "sum_lp": pa.array(g["sum"], pa.float64()),
+                                 "nb": pa.array(g["size"], pa.int64())})
+
+        agg = pairs.map_batches(DocNLL, fn_constructor_args=(lp_ref,),
+                                batch_format="pyarrow", concurrency=(1, 8)) \
+            .groupby("doc_id").aggregate(Sum("sum_lp", alias_name="sum_lp"),
+                                         Sum("nb", alias_name="n_bigrams"))
+    else:
+        def _head(t: pa.Table) -> pa.Table:
+            head = pc.list_element(pc.split_pattern(
+                t["pair"], "\x00", max_splits=1), 0)
+            return pa.table({"prev": head, "c2": t["c2"]})
+
+        c1 = (c2.map_batches(_head, batch_format="pyarrow")
+              .groupby("prev").aggregate(Sum("c2", alias_name="c1"))
+              .materialize())
+        n_parts = max(1, min(_join_partitions(), c1.count() // 1000))
+        scored = (pairs.join(c2, join_type="inner", num_partitions=n_parts,
+                             on=("pair",))
+                  .join(c1, join_type="inner", num_partitions=n_parts,
+                        on=("prev",)))
+
+        def logp(t: pa.Table) -> pa.Table:
+            lp = np.log(t["c2"].to_numpy().astype(np.float64)
+                        / t["c1"].to_numpy().astype(np.float64))
+            return pa.table({"doc_id": t["doc_id"], "lp": pa.array(lp)})
+
+        agg = scored.map_batches(logp, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(Sum("lp", alias_name="sum_lp"),
+                                         Count(alias_name="n_bigrams"))
 
     def final(t: pa.Table) -> pa.Table:
         nll = -t["sum_lp"].to_numpy() / t["n_bigrams"].to_numpy()
