@@ -1350,7 +1350,8 @@ def _bigrams_batch(t: pa.Table) -> pa.Table:
     if doc_ids.size == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "prev": pa.array([], pa.string()),
-                         "cur": pa.array([], pa.string())})
+                         "cur": pa.array([], pa.string()),
+                         "pair": pa.array([], pa.string())})
     same_doc = doc_ids[1:] == doc_ids[:-1]
     toks = ex["token"].combine_chunks()
     mask = pa.array(same_doc)
@@ -1789,6 +1790,27 @@ PR_DAMPING = 0.85
 PR_ITERS = 3
 
 
+def _pr_pairs_batch(t: pa.Table) -> pa.Table:
+    """One batch of documents → fused ``prev\\x00cur`` pair keys, with a
+    SENTINEL pair ``tok\\x00`` (empty successor) for each document's last
+    token.  Every token occurrence therefore appears exactly once as a pair
+    head, so ONE single-key groupby over this stream yields the edge
+    weights (cur != ''), the out-weights (sum per head over real edges)
+    AND the full node set (distinct heads) — one corpus pass instead of
+    three."""
+    ex = _explode_tokens(t)
+    doc_ids = ex["doc_id"].to_numpy()
+    toks = ex["token"].combine_chunks()
+    if doc_ids.size == 0:
+        return pa.table({"pair": pa.array([], pa.string())})
+    shifted = pa.concat_arrays(
+        [toks.slice(1), pa.array([""], pa.string())])
+    same_doc = np.concatenate(
+        [doc_ids[1:] == doc_ids[:-1], np.array([False])])
+    cur = pc.if_else(pa.array(same_doc), shifted, "")
+    return pa.table({"pair": pc.binary_join_element_wise(toks, cur, "\x00")})
+
+
 def q_doc_token_pagerank(sf_dir: str) -> rd.Dataset:
     """PageRank (damping 0.85, 3 unrolled power iterations) over the
     directed bigram graph: nodes = vocabulary, edge prev→cur weighted by
@@ -1804,11 +1826,52 @@ def q_doc_token_pagerank(sf_dir: str) -> rd.Dataset:
     funnel every iteration through one partition)."""
     from .relational import _join_partitions
 
-    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _bigrams_batch, batch_format="pyarrow").drop_columns(["doc_id"])
-    edges = pairs.groupby(["prev", "cur"]).aggregate(Count(alias_name="w"))
-    outw = (pairs.select_columns(["prev"]).groupby("prev")
-            .aggregate(Count(alias_name="ow")).materialize())
+    # ONE corpus pass: single-key groupby over the sentinel pair stream
+    # yields edges + out-weights + node set (see _pr_pairs_batch).
+    allp = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_pr_pairs_batch, batch_format="pyarrow")
+            .groupby("pair").aggregate(Count(alias_name="w"))
+            .materialize())  # vocabulary-sized
+
+    def split(t: pa.Table) -> pa.Table:
+        s = pc.split_pattern(t["pair"], "\x00", max_splits=1)
+        return pa.table({"prev": pc.list_element(s, 0),
+                         "cur": pc.list_element(s, 1), "w": t["w"]})
+
+    allp = allp.map_batches(split, batch_format="pyarrow").materialize()
+
+    # Cardinality switch: the aggregated pair table is vocabulary-sized.
+    # Below the broadcast bound the whole graph fits the driver, where the
+    # three power iterations are a numpy bincount loop — 9+ distributed ops
+    # collapse to one. A web-scale vocabulary takes the Dataset-iterative
+    # path below (rank state never leaves the cluster).
+    from .relational import _broadcast_max_rows
+    if allp.count() <= _broadcast_max_rows():
+        g = allp.to_pandas()
+        toks, inv = np.unique(
+            np.concatenate([g["prev"].to_numpy(), g["cur"].to_numpy()]),
+            return_inverse=True)
+        src, dst = inv[:len(g)], inv[len(g):]
+        real = g["cur"].to_numpy() != ""
+        src_r, dst_r = src[real], dst[real]
+        w = g["w"].to_numpy(np.float64)[real]
+        ow = np.bincount(src_r, weights=w, minlength=len(toks))
+        wn = w / ow[src_r]
+        n = int((toks != "").sum())
+        rank = np.full(len(toks), 1.0 / n)
+        base = (1.0 - PR_DAMPING) / n
+        for _ in range(PR_ITERS):
+            m = np.bincount(dst_r, weights=wn * rank[src_r],
+                            minlength=len(toks))
+            rank = base + PR_DAMPING * m
+        keep = toks != ""
+        return rd.from_arrow(pa.table({
+            "token": pa.array(toks[keep], pa.string()),
+            "rank": pa.array(rank[keep], pa.float64())}))
+
+    edges = allp.filter(expr="cur != ''")
+    outw = (edges.groupby("prev")
+            .aggregate(Sum("w", alias_name="ow")).materialize())
     n_parts = max(1, min(_join_partitions(), outw.count() // 1000))
     edges = edges.join(outw, join_type="inner", num_partitions=n_parts,
                        on=("prev",))
@@ -1819,9 +1882,9 @@ def q_doc_token_pagerank(sf_dir: str) -> rd.Dataset:
                          "wn": pa.array(wn, pa.float64())})
 
     edges = edges.map_batches(norm, batch_format="pyarrow").materialize()
-    nodes = (q_doc_tokens(sf_dir).select_columns(["token"])
-             .groupby("token").aggregate(Count(alias_name="_n"))
-             .drop_columns(["_n"]).materialize())
+    nodes = (allp.groupby("prev").aggregate(Count(alias_name="_n"))
+             .map_batches(lambda t: pa.table({"token": t["prev"]}),
+                          batch_format="pyarrow").materialize())
     n_nodes = nodes.count()
     n_parts = max(1, min(_join_partitions(), n_nodes // 1000))
     base = (1.0 - PR_DAMPING) / n_nodes
