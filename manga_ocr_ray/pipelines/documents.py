@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.h2z import DAKUTEN_PAIRS, H2Z_FROM, H2Z_TO
 from ..functions.html import strip_html_array, strip_html_sql
@@ -971,42 +971,46 @@ def _doc_grams(sf_dir: str, k: int = 3) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def grams(t: pa.Table) -> pa.Table:
-        wrapped = pc.replace_substring_regex(
-            t["text"].combine_chunks(), pattern=f"({TOKEN_PATTERN})",
-            replacement="\x00\\1\x00")
-        toks = pc.split_pattern(wrapped, "\x00")
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks).to_numpy()
-        keep_arr = pc.and_(
-            pc.not_equal(pc.utf8_length(flat), pa.scalar(0)),
-            pc.match_substring_regex(flat, f"^(?:{TOKEN_PATTERN})$"))
-        keep = keep_arr.to_numpy(zero_copy_only=False)
-        flat = flat.filter(keep_arr)
-        parent = parent[keep]
-        n = len(flat)
-        if n < k:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int64()),
-                             "g": pa.array([], pa.string())})
-        # per-doc position (segmented cumcount over contiguous parents)
-        pos = np.arange(n, dtype=np.int64)
-        starts = np.flatnonzero(np.r_[True, np.diff(parent) != 0])
-        pos = pos - np.repeat(pos[starts], np.diff(np.r_[starts, n]))
-        # k-gram join of shifted slices; valid where the window's first and
-        # last token share a parent (parents are sorted, so equality at the
-        # endpoints implies the whole window is in one doc)
-        parts = [flat.slice(i, n - k + 1) for i in range(k)]
-        joined = pc.binary_join_element_wise(*parts, " ")
-        valid = parent[: n - k + 1] == parent[k - 1:]
-        doc_ids = t["doc_id"].combine_chunks().to_numpy()[parent[: n - k + 1]]
-        vmask = pa.array(valid)
-        return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()).filter(vmask),
-            "pos": pa.array(pos[: n - k + 1], pa.int64()).filter(vmask),
-            "g": joined.filter(vmask),
-        })
+        return _grams_table(t, k)
 
     return ds.map_batches(grams, batch_format="pyarrow")
+
+
+def _grams_table(t: pa.Table, k: int) -> pa.Table:
+    wrapped = pc.replace_substring_regex(
+        t["text"].combine_chunks(), pattern=f"({TOKEN_PATTERN})",
+        replacement="\x00\\1\x00")
+    toks = pc.split_pattern(wrapped, "\x00")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+    keep_arr = pc.and_(
+        pc.not_equal(pc.utf8_length(flat), pa.scalar(0)),
+        pc.match_substring_regex(flat, f"^(?:{TOKEN_PATTERN})$"))
+    keep = keep_arr.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep_arr)
+    parent = parent[keep]
+    n = len(flat)
+    if n < k:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "g": pa.array([], pa.string())})
+    # per-doc position (segmented cumcount over contiguous parents)
+    pos = np.arange(n, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, np.diff(parent) != 0])
+    pos = pos - np.repeat(pos[starts], np.diff(np.r_[starts, n]))
+    # k-gram join of shifted slices; valid where the window's first and
+    # last token share a parent (parents are sorted, so equality at the
+    # endpoints implies the whole window is in one doc)
+    parts = [flat.slice(i, n - k + 1) for i in range(k)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    valid = parent[: n - k + 1] == parent[k - 1:]
+    doc_ids = t["doc_id"].combine_chunks().to_numpy()[parent[: n - k + 1]]
+    vmask = pa.array(valid)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()).filter(vmask),
+        "pos": pa.array(pos[: n - k + 1], pa.int64()).filter(vmask),
+        "g": joined.filter(vmask),
+    })
 
 
 def q_doc_repeated_spans(sf_dir: str, k: int = 3) -> rd.Dataset:
@@ -1033,37 +1037,48 @@ def q_doc_repeated_spans(sf_dir: str, k: int = 3) -> rd.Dataset:
     from .relational import _broadcast_max_rows, _join_partitions, _shard_by_int
 
     grams = _doc_grams(sf_dir, k)
-    dup = grams.groupby(["g", "doc_id"]).aggregate(Count(alias_name="_c")) \
-               .groupby("g").aggregate(Count(alias_name="nd"))
-    dup = dup.map_batches(
-        lambda t: t.filter(pc.greater(t["nd"], pa.scalar(1))).select(["g"]),
-        batch_format="pyarrow").materialize()
+
+    # "occurs in MORE THAN ONE distinct doc" ⟺ min(doc) != max(doc), so the
+    # dup vocabulary needs only per-gram (lo, hi) doc bounds.  Block-local
+    # partials shrink the exchange to distinct-g per block; the combine is
+    # a driver pandas pass when the partial stream is broadcast-small, else
+    # a groupby over the (already block-deduped) partials — never a
+    # corpus-wide distinct (g, doc) shuffle + second count groupby.
+    def pminmax(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"g": t["g"].to_pandas(),
+                           "d": t["doc_id"].to_pandas()})
+        gr = df.groupby("g", sort=False)["d"].agg(["min", "max"])
+        return pa.table({"g": pa.array(gr.index, pa.string()),
+                         "_lo": pa.array(gr["min"], pa.int64()),
+                         "_hi": pa.array(gr["max"], pa.int64())})
+
+    partials = grams.map_batches(pminmax, batch_format="pyarrow") \
+                    .materialize()
+    if partials.count() <= _broadcast_max_rows():
+        pdf = partials.to_pandas()
+        gr = pdf.groupby("g", sort=False).agg(
+            lo=("_lo", "min"), hi=("_hi", "max"))
+        dup = rd.from_arrow(pa.table({
+            "g": pa.array(gr.index[gr["lo"] != gr["hi"]], pa.string())}))
+        dup = dup.materialize()
+    else:
+        dup = partials.groupby("g").aggregate(
+            Min("_lo", alias_name="_lo2"), Max("_hi", alias_name="_hi2"))
+        dup = dup.map_batches(
+            lambda t: t.filter(pc.not_equal(t["_lo2"], t["_hi2"]))
+                       .select(["g"]),
+            batch_format="pyarrow").materialize()
     n_dup = dup.count()
 
-    if n_dup > _broadcast_max_rows():
-        n_parts = max(1, min(_join_partitions(), n_dup // 1000))
-        marked = grams.join(dup, join_type="inner", num_partitions=n_parts,
-                            on=("g",)).select_columns(["doc_id", "pos"])
-    else:
-        dup_ref = _ray.put(pd.Index(dup.to_pandas()["g"]))
-
-        class Mark:
-            def __init__(self, ref):
-                self.dup = _ray.get(ref)
-
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                m = b["g"].isin(self.dup).to_numpy()
-                return b.loc[m, ["doc_id", "pos"]]
-
-        marked = grams.map_batches(Mark, fn_constructor_args=(dup_ref,),
-                                   batch_format="pandas", concurrency=(1, 8))
-
     def islands(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "span_start": pd.Series([], dtype=np.int64),
+                                 "span_tokens": pd.Series([], dtype=np.int64)})
         gdf = gdf.sort_values(["doc_id", "pos"], kind="mergesort")
         pos = gdf["pos"].to_numpy(np.int64)
         doc = gdf["doc_id"].to_numpy(np.int64)
         new_run = np.r_[True, (np.diff(doc) != 0) | (np.diff(pos) != 1)]
-        run_id = np.cumsum(new_run) - 1
         starts = np.flatnonzero(new_run)
         ends = np.r_[starts[1:], len(pos)] - 1
         return pd.DataFrame({
@@ -1072,9 +1087,36 @@ def q_doc_repeated_spans(sf_dir: str, k: int = 3) -> rd.Dataset:
             "span_tokens": pos[ends] - pos[starts] + k,
         })
 
-    return _shard_by_int(marked, "doc_id").groupby("shard") \
-        .map_groups(islands, batch_format="pandas") \
-        .select_columns(["doc_id", "span_start", "span_tokens"])
+    if n_dup > _broadcast_max_rows():
+        n_parts = max(1, min(_join_partitions(), n_dup // 1000))
+        marked = grams.join(dup, join_type="inner", num_partitions=n_parts,
+                            on=("g",)).select_columns(["doc_id", "pos"])
+        return _shard_by_int(marked, "doc_id").groupby("shard") \
+            .map_groups(islands, batch_format="pandas") \
+            .select_columns(["doc_id", "span_start", "span_tokens"])
+
+    # Broadcast path: the gram stream never leaves its batch, and every
+    # batch holds WHOLE documents (grams derive from the docs in the same
+    # batch), so mark + maximal-run islands fuse into the gram pass — the
+    # second corpus pass has NO shuffle at all.
+    dup_ref = _ray.put(pd.Index(dup.to_pandas()["g"]))
+
+    class MarkIslands:
+        def __init__(self, ref):
+            self.dup = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            g = _grams_table(t, k)
+            m = pd.Series(g["g"].to_pandas()).isin(self.dup).to_numpy()
+            b = pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy()[m],
+                "pos": g["pos"].to_numpy()[m]})
+            return islands(b)
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(MarkIslands, fn_constructor_args=(dup_ref,),
+                         batch_format="pyarrow", batch_size=None,
+                         concurrency=(1, 8)))
 
 
 def q_doc_repeated_spans_sql(k: int = 3) -> str:
