@@ -431,6 +431,8 @@ def q17_avg_yearly(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
       ``5·n·qty_cents < sum_qty_cents`` — no float division anywhere until
       the single final /700.0.
     """
+    from .relational import _broadcast_max_rows
+
     part = pd.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     keys = part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy(np.int64)
     keys_ref = ray.put(keys)
@@ -438,38 +440,47 @@ def q17_avg_yearly(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
-    class Prune:
-        def __init__(self, ref):
-            self.keys = pa.array(ray.get(ref), pa.int64())
+    def prune(t: pa.Table) -> pa.Table:
+        ks = pa.array(ray.get(keys_ref), pa.int64())
+        t = t.filter(pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                              value_set=ks))
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "qty_c": _cents(t["l_quantity"]),
+                         "price_c": _cents(t["l_extendedprice"])})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
-                                  value_set=self.keys))
-            return pa.table({"l_partkey": t["l_partkey"],
-                             "qty_c": _cents(t["l_quantity"]),
-                             "price_c": _cents(t["l_extendedprice"])})
+    pruned = li.map_batches(prune, batch_format="pyarrow").materialize()
 
-    pruned = li.map_batches(Prune, fn_constructor_args=(keys_ref,),
-                            batch_format="pyarrow", concurrency=(1, 8)) \
-               .materialize()
-    stats = pruned.groupby("l_partkey").aggregate(
-        Sum("qty_c", alias_name="sumq"), Count(alias_name="n")).to_pandas()
+    # per-part (sum_qty, n): block-local partials (bounded by the brand's
+    # part cardinality per block), combined on the driver when small, else
+    # through a groupby over the already-shrunk partial stream
+    def pstats(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": t["l_partkey"].to_pandas(),
+                           "q": t["qty_c"].to_pandas()})
+        g = df.groupby("k", sort=False)["q"].agg(["sum", "size"])
+        return pa.table({"l_partkey": pa.array(g.index, pa.int64()),
+                         "sumq": pa.array(g["sum"], pa.int64()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    partials = pruned.map_batches(pstats, batch_format="pyarrow").materialize()
+    if partials.count() <= _broadcast_max_rows():
+        stats = partials.to_pandas().groupby("l_partkey").agg(
+            sumq=("sumq", "sum"), n=("n", "sum")).reset_index()
+    else:
+        stats = partials.groupby("l_partkey").aggregate(
+            Sum("sumq", alias_name="sumq"), Sum("n", alias_name="n")) \
+            .to_pandas()
     sumq = stats.set_index("l_partkey")["sumq"].astype(np.int64)
     npart = stats.set_index("l_partkey")["n"].astype(np.int64)
     sumq_ref, n_ref = ray.put(sumq), ray.put(npart)
 
-    class SmallQty:
-        def __init__(self, sq, nn):
-            self.sumq, self.n = ray.get(sq), ray.get(nn)
+    def small_qty(b: pd.DataFrame) -> pd.DataFrame:
+        sq, nn = ray.get(sumq_ref), ray.get(n_ref)
+        k = b["l_partkey"]
+        keep = 5 * b["qty_c"].to_numpy() * k.map(nn).to_numpy() \
+               < k.map(sq).to_numpy()
+        return pd.DataFrame({"price_c": b.loc[keep, "price_c"]})
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            k = b["l_partkey"]
-            keep = 5 * b["qty_c"].to_numpy() * k.map(self.n).to_numpy() \
-                   < k.map(self.sumq).to_numpy()
-            return pd.DataFrame({"price_c": b.loc[keep, "price_c"]})
-
-    total = pruned.map_batches(SmallQty, fn_constructor_args=(sumq_ref, n_ref),
-                               batch_format="pandas", concurrency=(1, 8)) \
+    total = pruned.map_batches(small_qty, batch_format="pandas") \
                   .sum("price_c")
     return pd.DataFrame({"avg_yearly": [float(total or 0) / 700.0]})
 
