@@ -1339,10 +1339,60 @@ def q_doc_line_dedup(sf_dir: str) -> rd.Dataset:
     Docs whose every line is duplicated vanish (C4 semantics).
     """
     from ..stages.dedup import _HASH_KEYS, add_content_hash
-    from .relational import _join_partitions, _shard_by_int
+    from .relational import (_broadcast_max_rows, _join_partitions,
+                             _shard_by_int)
 
-    lines = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _lines_batch, batch_format="pyarrow")
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "clean_text": pd.Series([], dtype=str),
+                                 "n_lines": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["doc_id", "line_no"], kind="mergesort")
+        agg = g.groupby("doc_id", sort=False)["line"].agg(
+            clean_text=" ".join, n_lines="size")
+        agg["n_lines"] = agg["n_lines"].astype(np.int64)
+        return agg.reset_index()
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    # Per-block partial line counts (block-local dedupe shrinks the
+    # exchange); the duplicated-line vocabulary is SUBLINEAR, so when the
+    # partial stream is broadcast-small the dup set ships once and the
+    # second pass filters + reassembles inside the batch (docs never split
+    # across batches) — no shuffle at all.  A web-scale partial stream
+    # falls back to the 128-bit-hash-keyed groupby + count join.
+    def pcounts(t: pa.Table) -> pa.Table:
+        lt = _lines_batch(t)
+        g = pd.Series(lt["line"].to_pandas()).value_counts(sort=False)
+        return pa.table({"line": pa.array(g.index, pa.string()),
+                         "n": pa.array(g.to_numpy(), pa.int64())})
+
+    partials = docs.map_batches(pcounts, batch_format="pyarrow",
+                                batch_size=None).materialize()
+    if partials.count() <= _broadcast_max_rows():
+        pdf = partials.to_pandas()
+        tot = pdf.groupby("line", sort=False)["n"].sum()
+        dup_ref = ray.put(pd.Index(tot.index[tot.to_numpy() > 1]))
+
+        class DropDupLines:
+            def __init__(self, ref):
+                self.dup = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pd.DataFrame:
+                lt = _lines_batch(t)
+                keep = ~pd.Series(lt["line"].to_pandas()).isin(self.dup) \
+                    .to_numpy()
+                return reassemble(pd.DataFrame({
+                    "doc_id": lt["doc_id"].to_numpy()[keep],
+                    "line_no": lt["line_no"].to_numpy()[keep],
+                    "line": pd.Series(lt["line"].to_pandas()).to_numpy()[keep],
+                }))
+
+        return docs.map_batches(DropDupLines, fn_constructor_args=(dup_ref,),
+                                batch_format="pyarrow", batch_size=None,
+                                concurrency=(1, 8))
+
+    lines = docs.map_batches(_lines_batch, batch_format="pyarrow")
     hashed = lines.map_batches(
         lambda t: add_content_hash(t, "line"), batch_format="pyarrow")
     counts = (hashed.select_columns(_HASH_KEYS)
@@ -1355,14 +1405,6 @@ def q_doc_line_dedup(sf_dir: str) -> rd.Dataset:
         return t.select(["doc_id", "line_no", "line"])
 
     surv = joined.map_batches(survivors, batch_format="pyarrow")
-
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "line_no"], kind="mergesort")
-        agg = g.groupby("doc_id", sort=False)["line"].agg(
-            clean_text=" ".join, n_lines="size")
-        agg["n_lines"] = agg["n_lines"].astype(np.int64)
-        return agg.reset_index()
-
     return _shard_by_int(surv, "doc_id").groupby("shard").map_groups(
         reassemble, batch_format="pandas")
 

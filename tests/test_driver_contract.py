@@ -130,7 +130,7 @@ def test_broadcast_join_switch_paths_agree(entrymod, con, monkeypatch):
 
     for name in ["doc_tfidf_top_terms", "doc_rarity", "events_cohort_retention",
                  "q5_nation_volume", "doc_repeated_spans", "doc_bigram_lm",
-                 "doc_token_pagerank"]:
+                 "doc_token_pagerank", "doc_line_dedup"]:
         want = con.sql(entrymod.oracle_sql()[name]).df()
         for env in ["0", "5000000"]:
             monkeypatch.setenv("GRAFT_BROADCAST_MAX_ROWS", env)
