@@ -128,5 +128,33 @@ def bloom_semi_join(fact: rd.Dataset, fact_key: str, keys: rd.Dataset,
     ref, m_bits, k = bloom_from_dataset(keys, key_col, bits_per_key=bits_per_key)
     pruned = fact.map_batches(BloomPrune, fn_constructor_args=(ref, m_bits, k, fact_key),
                               batch_format="pyarrow", concurrency=concurrency)
+
+    # False-positive removal: when the key set itself is broadcast-small
+    # (and single-column, so no payload columns need the join), the exact
+    # verify is a map-side sorted-array membership — the bloom prune above
+    # still runs (it is the scale path's shape) but the only all-to-all
+    # exchange disappears.  A too-big-to-broadcast key set — the case the
+    # bloom exists for — keeps the exact hash join on survivors.
+    from ..pipelines.relational import _broadcast_max_rows
+
+    if len(keys.schema().names) == 1 and keys.count() <= _broadcast_max_rows():
+        sorted_ref = ray.put(np.sort(
+            keys.to_pandas()[key_col].to_numpy(np.int64)))
+        append_key = key_col not in fact.schema().names
+
+        def verify(t: pa.Table) -> pa.Table:
+            arr = ray.get(sorted_ref)
+            col = t[fact_key].combine_chunks().to_numpy().astype(np.int64)
+            idx = np.searchsorted(arr, col)
+            idx[idx >= arr.size] = max(arr.size - 1, 0)
+            hit = arr.size > 0 and arr[idx] == col
+            t = t.filter(pa.array(hit if isinstance(hit, np.ndarray)
+                                  else np.zeros(len(col), bool)))
+            if append_key:
+                t = t.append_column(key_col, t[fact_key])
+            return t
+
+        return pruned.map_batches(verify, batch_format="pyarrow")
+
     return pruned.join(keys, join_type="inner", on=(fact_key,),
                        right_on=(key_col,), num_partitions=num_partitions)
