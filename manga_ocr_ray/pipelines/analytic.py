@@ -652,6 +652,35 @@ def q_events_cohort_retention(sf_dir: str) -> rd.Dataset:
         return pa.table({"user_id": t["user_id"], "day": day})
 
     days = ds.map_batches(add_day, batch_format="pyarrow")
+
+    # Small path: ONE corpus pass emits per-block distinct fused
+    # (user << 17 | day) keys (day = date32 epoch-days < 2^17 until year
+    # 2328); the driver unique-sorts the partials, derives first-seen per
+    # user, offsets and cell counts as pure numpy — zero shuffles.  A
+    # partial stream past the broadcast bound falls through to the
+    # distributed plan below.
+    def pfuse(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().to_numpy().astype(np.int64)
+        d = t["day"].combine_chunks().to_numpy().astype(np.int64)
+        assert not len(d) or (d.max() < (1 << 17) and d.min() >= 0), \
+            "day outside fuse budget"
+        return pa.table({"k": pa.array(np.unique((u << 17) | d))})
+
+    partials = days.map_batches(pfuse, batch_format="pyarrow").materialize()
+    if partials.count() <= _broadcast_max_rows():
+        k = np.unique(partials.to_pandas()["k"].to_numpy())
+        u = k >> 17
+        d = (k & ((1 << 17) - 1)).astype(np.int64)
+        first_of_user = np.r_[True, u[1:] != u[:-1]]  # k sorted ⇒ (u, d) sorted
+        cohort = d[first_of_user][np.cumsum(first_of_user) - 1]
+        off = d - cohort
+        cells, counts = np.unique((cohort << 16) | off, return_counts=True)
+        di = (cells >> 16).astype(np.int32).astype("datetime64[D]")
+        return rd.from_arrow(pa.table({
+            "cohort_day": pa.array(di.astype(str)),
+            "day_offset": pa.array(cells & 0xFFFF, pa.int64()),
+            "n_users": pa.array(counts, pa.int64())}))
+
     firsts = days.groupby("user_id").aggregate(
         Min("day", alias_name="cohort")).materialize()
     n_users = firsts.count()
