@@ -817,7 +817,33 @@ def q_doc_inverted_index(sf_dir: str) -> rd.Dataset:
     block-compress hot terms (documented, not applied, so the oracle stays
     exact)."""
     from ..functions.hashing import hash64_array
-    from .relational import _default_shards
+    from .relational import _broadcast_max_rows, _default_shards
+
+    def build_flat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        ids = g["doc_id"].astype(str).astype(object)
+        out = g.assign(_s=ids).groupby("token", sort=True).agg(
+            df=("doc_id", "size"), postings=("_s", ",".join))
+        out["df"] = out["df"].astype("int64")
+        return out.reset_index()
+
+    # Small path: per-block distinct (token, doc) partials (the posting
+    # material, block-deduped) combine on the driver into the full index —
+    # no corpus-wide multi-key groupby, no shard shuffle.  Past the
+    # broadcast bound the distributed plan below takes over.
+    def ppairs(t: pa.Table) -> pa.Table:
+        ex = _explode_tokens(t)
+        df = pd.DataFrame({"token": ex["token"].to_pandas(),
+                           "doc_id": ex["doc_id"].to_numpy()})
+        df = df.drop_duplicates()
+        return pa.table({"token": pa.array(df["token"], pa.string()),
+                         "doc_id": pa.array(df["doc_id"], pa.int64())})
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ppairs, batch_format="pyarrow", batch_size=None).materialize()
+    if partials.count() <= _broadcast_max_rows():
+        pdf = partials.to_pandas().drop_duplicates()
+        return rd.from_pandas(build_flat(pdf))
 
     toks = q_doc_tokens(sf_dir).select_columns(["doc_id", "token"])
     pairs = toks.groupby(["token", "doc_id"]).aggregate(Count(alias_name="_tf"))

@@ -172,14 +172,44 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": r})
 
     li = li.map_batches(returned, batch_format="pyarrow")
-    n = _join_partitions()
-    j = li.join(orders, join_type="inner", num_partitions=n,
-                on=("l_orderkey",), right_on=("o_orderkey",))
-    per_cust = j.groupby("o_custkey").aggregate(Sum("rev_e4", alias_name="rev_e4"))
-    # the per-customer aggregate is customer-cardinality (~1e9 at 100 TB) —
-    # top-k comes off a distributed sort + limit, never a driver to_pandas
-    top = per_cust.sort(["rev_e4", "o_custkey"], descending=[True, False]) \
-                  .limit(k).to_pandas()
+
+    # The quarter's (orderkey → custkey) slice is selective but unbounded
+    # (grows with the corpus) → cardinality switch: broadcast map + per-
+    # batch partial custkey sums + driver top-k when it fits, else the
+    # hash-join + distributed groupby + sort plan.
+    from .relational import _broadcast_max_rows
+
+    qorders = orders.materialize()
+    if qorders.count() <= _broadcast_max_rows():
+        om = qorders.to_pandas().set_index("o_orderkey")["o_custkey"]
+        om_ref = ray.put(om)
+
+        def psum(b: pd.DataFrame) -> pd.DataFrame:
+            cust = b["l_orderkey"].map(ray.get(om_ref))
+            keep = cust.notna()
+            g = pd.DataFrame({"o_custkey": cust[keep].astype(np.int64),
+                              "rev_e4": b.loc[keep, "rev_e4"]}) \
+                .groupby("o_custkey", sort=False)["rev_e4"].sum()
+            return pd.DataFrame({"o_custkey": g.index.to_numpy(np.int64),
+                                 "rev_e4": g.to_numpy(np.int64)})
+
+        partials = li.map_batches(psum, batch_format="pandas").to_pandas()
+        per = partials.groupby("o_custkey", sort=False)["rev_e4"].sum() \
+                      .reset_index()
+        top = per.sort_values(["rev_e4", "o_custkey"],
+                              ascending=[False, True]).head(k) \
+                 .reset_index(drop=True)
+    else:
+        n = _join_partitions()
+        j = li.join(qorders, join_type="inner", num_partitions=n,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+        per_cust = j.groupby("o_custkey").aggregate(
+            Sum("rev_e4", alias_name="rev_e4"))
+        # the per-customer aggregate is customer-cardinality (~1e9 at
+        # 100 TB) — top-k comes off a distributed sort + limit, never a
+        # driver to_pandas
+        top = per_cust.sort(["rev_e4", "o_custkey"],
+                            descending=[True, False]).limit(k).to_pandas()
     top["revenue"] = top["rev_e4"].astype(np.float64) / 10000.0
     cust = pd.read_parquet(_pq(sf_dir, "customer"),
                            columns=["c_custkey", "c_name", "c_acctbal",
