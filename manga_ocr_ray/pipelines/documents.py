@@ -1494,65 +1494,90 @@ def q_doc_bigram_lm(sf_dir: str) -> rd.Dataset:
     joins with cardinality-sized partitions (the bm25 wedge guard)."""
     from .relational import _broadcast_max_rows, _join_partitions
 
-    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _bigrams_batch, batch_format="pyarrow")
-    c2 = pairs.groupby("pair").aggregate(Count(alias_name="c2")).materialize()
-    # c1 (bigram-head counts) = sum of c2 per head: derived from the
-    # vocabulary-sized c2 table, NOT a second corpus-wide pass over pairs
+    docs = _docs(sf_dir, ["doc_id", "text"])
 
-    if c2.count() <= _broadcast_max_rows():
-        c2p = c2.to_pandas()
-        heads = c2p["pair"].str.split("\x00", n=1).str[0]
-        c1_of_head = c2p.groupby(heads)["c2"].transform("sum")
+    # Per-block partial pair counts (block-deduped); the pair vocabulary is
+    # sublinear, so the lp table usually builds on the driver and ships
+    # once.  c1 (head counts) derives from c2 — never a second corpus pass.
+    # NB: fused keys contain \x00 — pandas' object-string hashtable
+    # (groupby/unique/drop_duplicates) truncates at NUL and silently merges
+    # distinct keys (verified on pandas 2.2.2), so every groupby touching
+    # the pair key is Arrow (NUL-safe); Series.map is NUL-safe and stays.
+    def pcounts(t: pa.Table) -> pa.Table:
+        pt = _bigrams_batch(t)
+        g = pa.TableGroupBy(pt.select(["pair"]), "pair").aggregate(
+            [("pair", "count")])
+        return pa.table({"pair": g["pair"],
+                         "n": pc.cast(g["pair_count"], pa.int64())})
+
+    partials = docs.map_batches(pcounts, batch_format="pyarrow",
+                                batch_size=None).materialize()
+    if partials.count() <= _broadcast_max_rows():
+        pt_all = pa.Table.from_pandas(partials.to_pandas(),
+                                      preserve_index=False)
+        cg = pa.TableGroupBy(pt_all, "pair").aggregate([("n", "sum")])
+        c2g = pd.Series(cg["n_sum"].to_numpy(),
+                        index=pd.Index(cg["pair"].to_pandas()))
+        heads = np.asarray(c2g.index.str.split("\x00", n=1).str[0])
+        c1_of_head = c2g.groupby(heads).transform("sum")
         lp = pd.Series(
-            np.log(c2p["c2"].to_numpy(np.float64)
+            np.log(c2g.to_numpy(np.float64)
                    / c1_of_head.to_numpy(np.float64)),
-            index=c2p["pair"])
+            index=c2g.index)
         lp_ref = ray.put(lp)
 
         class DocNLL:
+            """Fused: bigrams re-derive inside the doc batch (docs never
+            split across batches), lp looks up broadcast, per-doc result
+            finalizes in place — the second pass has NO shuffle."""
+
             def __init__(self, ref):
                 self.lp = ray.get(ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
+                pt = _bigrams_batch(t)
                 b = pd.DataFrame({
-                    "doc_id": t["doc_id"].combine_chunks().to_numpy(),
-                    "lp": pd.Series(t["pair"].combine_chunks()
-                                    .to_numpy(zero_copy_only=False))
+                    "doc_id": pt["doc_id"].to_numpy(),
+                    "lp": pd.Series(pt["pair"].to_pandas())
                           .map(self.lp).to_numpy(np.float64)})
                 g = b.groupby("doc_id", sort=False)["lp"] \
                      .agg(["sum", "size"]).reset_index()
-                return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
-                                 "sum_lp": pa.array(g["sum"], pa.float64()),
-                                 "nb": pa.array(g["size"], pa.int64())})
+                nb = g["size"].to_numpy(np.int64)
+                return pa.table({
+                    "doc_id": pa.array(g["doc_id"], pa.int64()),
+                    "n_bigrams": pa.array(nb, pa.int64()),
+                    "avg_nll": pa.array(-g["sum"].to_numpy(np.float64) / nb,
+                                        pa.float64())})
 
-        agg = pairs.map_batches(DocNLL, fn_constructor_args=(lp_ref,),
-                                batch_format="pyarrow", concurrency=(1, 8)) \
-            .groupby("doc_id").aggregate(Sum("sum_lp", alias_name="sum_lp"),
-                                         Sum("nb", alias_name="n_bigrams"))
-    else:
-        def _head(t: pa.Table) -> pa.Table:
-            head = pc.list_element(pc.split_pattern(
-                t["pair"], "\x00", max_splits=1), 0)
-            return pa.table({"prev": head, "c2": t["c2"]})
+        return docs.map_batches(DocNLL, fn_constructor_args=(lp_ref,),
+                                batch_format="pyarrow", batch_size=None,
+                                concurrency=(1, 8))
 
-        c1 = (c2.map_batches(_head, batch_format="pyarrow")
-              .groupby("prev").aggregate(Sum("c2", alias_name="c1"))
-              .materialize())
-        n_parts = max(1, min(_join_partitions(), c1.count() // 1000))
-        scored = (pairs.join(c2, join_type="inner", num_partitions=n_parts,
-                             on=("pair",))
-                  .join(c1, join_type="inner", num_partitions=n_parts,
-                        on=("prev",)))
+    c2 = partials.groupby("pair").aggregate(
+        Sum("n", alias_name="c2")).materialize()
+    pairs = docs.map_batches(_bigrams_batch, batch_format="pyarrow")
+    def _head(t: pa.Table) -> pa.Table:
+        head = pc.list_element(pc.split_pattern(
+            t["pair"], "\x00", max_splits=1), 0)
+        return pa.table({"prev": head, "c2": t["c2"]})
 
-        def logp(t: pa.Table) -> pa.Table:
-            lp = np.log(t["c2"].to_numpy().astype(np.float64)
-                        / t["c1"].to_numpy().astype(np.float64))
-            return pa.table({"doc_id": t["doc_id"], "lp": pa.array(lp)})
+    c1 = (c2.map_batches(_head, batch_format="pyarrow")
+          .groupby("prev").aggregate(Sum("c2", alias_name="c1"))
+          .materialize())
+    n_parts = max(1, min(_join_partitions(), c1.count() // 1000))
+    scored = (pairs.join(c2, join_type="inner", num_partitions=n_parts,
+                         on=("pair",))
+              .join(c1, join_type="inner", num_partitions=n_parts,
+                    on=("prev",)))
 
-        agg = scored.map_batches(logp, batch_format="pyarrow") \
-            .groupby("doc_id").aggregate(Sum("lp", alias_name="sum_lp"),
-                                         Count(alias_name="n_bigrams"))
+    def logp(t: pa.Table) -> pa.Table:
+        lp = np.log(t["c2"].to_numpy().astype(np.float64)
+                    / t["c1"].to_numpy().astype(np.float64))
+        return pa.table({"doc_id": t["doc_id"], "lp": pa.array(lp)})
+
+    agg = scored.map_batches(logp, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("lp", alias_name="sum_lp"),
+                                     Count(alias_name="n_bigrams"))
 
     def final(t: pa.Table) -> pa.Table:
         nll = -t["sum_lp"].to_numpy() / t["n_bigrams"].to_numpy()
