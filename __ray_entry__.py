@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
     from manga_ocr_ray.pipelines import tpch as T
+    from manga_ocr_ray.pipelines import tpch2 as T2
     from manga_ocr_ray.pipelines import textprep as X
 
     return {
@@ -765,6 +766,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": T.q15_top_supplier,
         "q18_large_orders": T.q18_large_orders,
         "q22_idle_customers": T.q22_idle_customers,
+        # round-4 TPC-H completion wave (pipelines/tpch2.py)
+        "q12_late_shipments": T2.q12_late_shipments,
+        "q13_order_distribution": T2.q13_order_distribution,
+        "q19_disjunctive_revenue": T2.q19_disjunctive_revenue,
+        "q11_important_parts": T2.q11_important_parts,
+        "q16_supplier_counts": T2.q16_supplier_counts,
+        "q2_min_cost_supplier": T2.q2_min_cost_supplier,
+        "q8_market_share": T2.q8_market_share,
+        "q9_profit_by_nation": T2.q9_profit_by_nation,
+        "q20_dominant_suppliers": T2.q20_dominant_suppliers,
+        "q21_blocking_suppliers": T2.q21_blocking_suppliers,
         # round-4 text-prep wave (pipelines/textprep.py)
         "doc_chunk_windows": X.q_doc_chunk_windows,
         "doc_winnowing": X.q_doc_winnowing,
@@ -796,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
     from manga_ocr_ray.pipelines import tpch as T
+    from manga_ocr_ray.pipelines import tpch2 as T2
     from manga_ocr_ray.pipelines import textprep as X
 
     return {
@@ -866,6 +879,16 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": T.Q15_TOP_SUPPLIER_SQL,
         "q18_large_orders": T.Q18_LARGE_ORDERS_SQL,
         "q22_idle_customers": T.Q22_IDLE_CUSTOMERS_SQL,
+        "q12_late_shipments": T2.Q12_LATE_SHIPMENTS_SQL,
+        "q13_order_distribution": T2.Q13_ORDER_DISTRIBUTION_SQL,
+        "q19_disjunctive_revenue": T2.Q19_DISJUNCTIVE_REVENUE_SQL,
+        "q11_important_parts": T2.q11_important_parts_sql(),
+        "q16_supplier_counts": T2.Q16_SUPPLIER_COUNTS_SQL,
+        "q2_min_cost_supplier": T2.q2_min_cost_supplier_sql(),
+        "q8_market_share": T2.q8_market_share_sql(),
+        "q9_profit_by_nation": T2.q9_profit_by_nation_sql(),
+        "q20_dominant_suppliers": T2.q20_dominant_suppliers_sql(),
+        "q21_blocking_suppliers": T2.q21_blocking_suppliers_sql(),
         "doc_chunk_windows": X.Q_DOC_CHUNK_WINDOWS_SQL,
         "doc_winnowing": X.Q_DOC_WINNOWING_SQL,
         "doc_bpe_pairs": X.Q_DOC_BPE_PAIRS_SQL,

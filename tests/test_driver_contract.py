@@ -186,3 +186,22 @@ def test_q14_join_path_agrees(entrymod, con, monkeypatch):
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
         assert abs(float(got["promo_revenue"][0])
                    - float(want["promo_revenue"][0])) < 1e-9, env
+
+
+def test_tpch_completion_wave_rowcounts(entrymod, con, monkeypatch):
+    """All 22 TPC-H shapes are now covered (tpch.py + tpch2.py, adapted to
+    the driver schema).  Row-count + column check through BOTH plans; the
+    value gate is scripts/check_oracle.py."""
+    names = ["q12_late_shipments", "q13_order_distribution",
+             "q19_disjunctive_revenue", "q11_important_parts",
+             "q16_supplier_counts", "q2_min_cost_supplier",
+             "q8_market_share", "q9_profit_by_nation",
+             "q20_dominant_suppliers", "q21_blocking_suppliers"]
+    for name in names:
+        want = con.sql(entrymod.oracle_sql()[name]).df()
+        for env in ["0", "5000000"]:
+            monkeypatch.setenv("GRAFT_BROADCAST_MAX_ROWS", env)
+            got = entrymod.queries()[name](SF_DIR)
+            got = got.to_pandas() if hasattr(got, "to_pandas") else got
+            assert len(got) == len(want), (name, env)
+            assert sorted(got.columns) == sorted(want.columns), (name, env)
