@@ -154,24 +154,14 @@ FROM '{_ORACLE_CORPUS}/expected.parquet'
 """
 
 
-def _q_transcript_cer(sf_dir: str) -> pd.DataFrame:
-    """CER + exact-match over REAL extraction vs the golden table (G3, the
-    north-rule metric as a driver query; reference anchor:
-    manga_ocr_dev/training/metrics.py:54-81).
-
-    Runs extract_turns, deterministically perturbs every 5th turn's
-    prediction (drop first char, append '誤') so the metric provably moves,
-    joins the golden expected table on (conv_id, turn_idx), and tree-reduces
-    per-batch Levenshtein partials.  The oracle perturbs the expected text
-    the same way and uses DuckDB's levenshtein() — value-hash equality
-    therefore requires BOTH per-turn extraction exactness AND a correct
-    distributed edit-distance aggregate.  unit="byte" because DuckDB's
-    levenshtein() edits UTF-8 bytes (verified: levenshtein('誤','')=3);
-    pytest pins the codepoint-unit CER separately.  cer/exact_match are one
-    division of two exactly-summed int64s → bit-deterministic."""
+def _perturbed_extraction():
+    """(perturbed extraction, golden expected) datasets over the oracle
+    corpus — the shared front half of the CER/WER/F1/BLEU metric gates.
+    Deterministically perturbs every 5th turn's prediction (drop first char,
+    append '誤') so every metric provably moves; the oracle SQL perturbs the
+    expected text identically."""
     import pyarrow.compute as pc
     import ray.data as rd
-    from manga_ocr_ray.functions.metrics import cer_against_expected
     from manga_ocr_ray.pipelines.extract import extract_turns
 
     ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet")
@@ -191,6 +181,35 @@ def _q_transcript_cer(sf_dir: str) -> pd.DataFrame:
 
     perturbed = extracted.map_batches(perturb_batch, batch_format="pyarrow")
     expected = rd.read_parquet(f"{_oracle_corpus()}/expected.parquet")
+    return perturbed, expected
+
+
+_PERTURB_SQL = """
+  SELECT conv_id, turn_idx, expected_text,
+         CASE WHEN turn_idx % 5 = 0 AND length(expected_text) > 0
+              THEN substr(expected_text, 2) || '誤'
+              ELSE expected_text END AS pred
+"""
+
+
+def _q_transcript_cer(sf_dir: str) -> pd.DataFrame:
+    """CER + exact-match over REAL extraction vs the golden table (G3, the
+    north-rule metric as a driver query; reference anchor:
+    manga_ocr_dev/training/metrics.py:54-81).
+
+    Runs extract_turns, deterministically perturbs every 5th turn's
+    prediction (drop first char, append '誤') so the metric provably moves,
+    joins the golden expected table on (conv_id, turn_idx), and tree-reduces
+    per-batch Levenshtein partials.  The oracle perturbs the expected text
+    the same way and uses DuckDB's levenshtein() — value-hash equality
+    therefore requires BOTH per-turn extraction exactness AND a correct
+    distributed edit-distance aggregate.  unit="byte" because DuckDB's
+    levenshtein() edits UTF-8 bytes (verified: levenshtein('誤','')=3);
+    pytest pins the codepoint-unit CER separately.  cer/exact_match are one
+    division of two exactly-summed int64s → bit-deterministic."""
+    from manga_ocr_ray.functions.metrics import cer_against_expected
+
+    perturbed, expected = _perturbed_extraction()
     m = cer_against_expected(perturbed, expected, unit="byte")
     return pd.DataFrame({
         "n_turns": [int(m["n_turns"])],
@@ -275,6 +294,180 @@ SELECT conv_id, turn_idx,
 FROM (SELECT *, regexp_split_to_array(expected_text, '') AS cs
       FROM '{_ORACLE_CORPUS}/expected.parquet')
 """
+
+
+def _q_transcript_wer(sf_dir: str):
+    """Per-turn word error rate over REAL extraction vs golden (the ASR/OCR
+    companion metric to CER): token-unit Levenshtein via the shared numpy
+    DP.  Oracle trick: within one (pred, ref) pair edit distance is
+    invariant under bijective relabeling, so the SQL twin maps each token to
+    a single ASCII byte (chr(32+list_position(vocab, t))) and DuckDB's
+    byte-based levenshtein() computes the token distance exactly; turns
+    whose combined vocab exceeds the single-byte range are filtered by the
+    SAME deterministic predicate on both sides."""
+    from manga_ocr_ray.functions.metrics import join_pred_label, wer_batch
+
+    perturbed, expected = _perturbed_extraction()
+    joined = join_pred_label(perturbed, expected)
+    return joined.map_batches(wer_batch, batch_format="pyarrow")
+
+
+def _transcript_wer_sql() -> str:
+    from manga_ocr_ray.functions.metrics import WER_MAX_VOCAB
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+
+    return f"""
+WITH p AS ({_PERTURB_SQL} FROM '{_ORACLE_CORPUS}/expected.parquet'),
+ t AS (SELECT conv_id, turn_idx,
+              regexp_extract_all(pred, '{TOKEN_PATTERN}') AS ptoks,
+              regexp_extract_all(expected_text, '{TOKEN_PATTERN}') AS rtoks
+       FROM p),
+ v AS (SELECT *, list_distinct(list_concat(ptoks, rtoks)) AS vocab FROM t),
+ ms AS (SELECT conv_id, turn_idx, rtoks, vocab,
+               -- COALESCE: array_to_string([]) is NULL, not '', in DuckDB
+               COALESCE(array_to_string(list_transform(ptoks,
+                   x -> chr(32 + list_position(vocab, x))), ''), '') AS mp,
+               COALESCE(array_to_string(list_transform(rtoks,
+                   x -> chr(32 + list_position(vocab, x))), ''), '') AS mr
+        FROM v)
+SELECT conv_id, turn_idx,
+       CAST(len(rtoks) AS BIGINT) AS n_ref,
+       CAST(levenshtein(mp, mr) AS BIGINT) AS edits,
+       levenshtein(mp, mr) / greatest(len(rtoks), 1) AS wer
+FROM ms WHERE len(vocab) <= {WER_MAX_VOCAB}
+"""
+
+
+def _q_transcript_token_f1(sf_dir: str):
+    """Per-turn bag-of-tokens F1 (SQuAD-style span-answer metric) over real
+    extraction vs golden — integer multiset-intersection counts plus one
+    double; the oracle recomputes the clipped counts via unnest/groupby."""
+    from manga_ocr_ray.functions.metrics import join_pred_label, token_f1_batch
+
+    perturbed, expected = _perturbed_extraction()
+    joined = join_pred_label(perturbed, expected)
+    return joined.map_batches(token_f1_batch, batch_format="pyarrow")
+
+
+def _transcript_token_f1_sql() -> str:
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+
+    return f"""
+WITH p AS ({_PERTURB_SQL} FROM '{_ORACLE_CORPUS}/expected.parquet'),
+ pt AS (SELECT conv_id, turn_idx, tok, count(*) AS c FROM (
+          SELECT conv_id, turn_idx,
+                 unnest(regexp_extract_all(pred, '{TOKEN_PATTERN}')) AS tok
+          FROM p) GROUP BY ALL),
+ rt AS (SELECT conv_id, turn_idx, tok, count(*) AS c FROM (
+          SELECT conv_id, turn_idx,
+                 unnest(regexp_extract_all(expected_text, '{TOKEN_PATTERN}')) AS tok
+          FROM p) GROUP BY ALL),
+ m AS (SELECT pt.conv_id, pt.turn_idx,
+              CAST(sum(least(pt.c, rt.c)) AS BIGINT) AS cm
+       FROM pt JOIN rt ON pt.conv_id = rt.conv_id
+                      AND pt.turn_idx = rt.turn_idx AND pt.tok = rt.tok
+       GROUP BY pt.conv_id, pt.turn_idx)
+SELECT p.conv_id, p.turn_idx,
+       CAST(len(regexp_extract_all(pred, '{TOKEN_PATTERN}')) AS BIGINT) AS n_pred,
+       CAST(len(regexp_extract_all(expected_text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_ref,
+       COALESCE(m.cm, 0) AS n_common,
+       CASE WHEN len(regexp_extract_all(pred, '{TOKEN_PATTERN}'))
+               + len(regexp_extract_all(expected_text, '{TOKEN_PATTERN}')) = 0
+            THEN 1.0
+            ELSE 2.0 * COALESCE(m.cm, 0)
+                 / (len(regexp_extract_all(pred, '{TOKEN_PATTERN}'))
+                    + len(regexp_extract_all(expected_text, '{TOKEN_PATTERN}')))
+       END AS f1
+FROM p LEFT JOIN m ON p.conv_id = m.conv_id AND p.turn_idx = m.turn_idx
+"""
+
+
+def _q_transcript_bleu(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level BLEU-2 (clipped modified n-gram precision + brevity
+    penalty) over real extraction vs golden: per-batch sufficient-statistic
+    partials tree-reduce to one row; the four floats are single libm ops off
+    exactly-summed int64s."""
+    from manga_ocr_ray.functions.metrics import (
+        bleu2_from_partials, bleu_partial_batch, join_pred_label)
+
+    perturbed, expected = _perturbed_extraction()
+    joined = join_pred_label(perturbed, expected)
+    parts = joined.map_batches(bleu_partial_batch, batch_format="pyarrow")
+    m = bleu2_from_partials(parts.to_pandas().sum())
+    return pd.DataFrame({k: [v] for k, v in m.items()})
+
+
+def _transcript_bleu_sql() -> str:
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+
+    return f"""
+WITH p AS ({_PERTURB_SQL} FROM '{_ORACLE_CORPUS}/expected.parquet'),
+ t AS (SELECT conv_id, turn_idx,
+              regexp_extract_all(pred, '{TOKEN_PATTERN}') AS ptoks,
+              regexp_extract_all(expected_text, '{TOKEN_PATTERN}') AS rtoks
+       FROM p),
+ big AS (SELECT conv_id, turn_idx,
+                list_transform(range(1, len(ptoks)),
+                               i -> ptoks[i] || ' ' || ptoks[i+1]) AS pbg,
+                list_transform(range(1, len(rtoks)),
+                               i -> rtoks[i] || ' ' || rtoks[i+1]) AS rbg
+         FROM t),
+ c1p AS (SELECT conv_id, turn_idx, g, count(*) AS c FROM
+           (SELECT conv_id, turn_idx, unnest(ptoks) AS g FROM t) GROUP BY ALL),
+ c1r AS (SELECT conv_id, turn_idx, g, count(*) AS c FROM
+           (SELECT conv_id, turn_idx, unnest(rtoks) AS g FROM t) GROUP BY ALL),
+ c2p AS (SELECT conv_id, turn_idx, g, count(*) AS c FROM
+           (SELECT conv_id, turn_idx, unnest(pbg) AS g FROM big) GROUP BY ALL),
+ c2r AS (SELECT conv_id, turn_idx, g, count(*) AS c FROM
+           (SELECT conv_id, turn_idx, unnest(rbg) AS g FROM big) GROUP BY ALL),
+ m1 AS (SELECT CAST(COALESCE(sum(least(a.c, b.c)), 0) AS BIGINT) AS v
+        FROM c1p a JOIN c1r b ON a.conv_id = b.conv_id
+                             AND a.turn_idx = b.turn_idx AND a.g = b.g),
+ m2 AS (SELECT CAST(COALESCE(sum(least(a.c, b.c)), 0) AS BIGINT) AS v
+        FROM c2p a JOIN c2r b ON a.conv_id = b.conv_id
+                             AND a.turn_idx = b.turn_idx AND a.g = b.g),
+ tots AS (SELECT CAST(sum(len(ptoks)) AS BIGINT) AS t1,
+                 CAST(sum(greatest(len(ptoks) - 1, 0)) AS BIGINT) AS t2,
+                 CAST(sum(len(ptoks)) AS BIGINT) AS plen,
+                 CAST(sum(len(rtoks)) AS BIGINT) AS rlen
+          FROM t)
+SELECT m1.v AS match1, tots.t1 AS total1, m2.v AS match2, tots.t2 AS total2,
+       tots.plen AS pred_len, tots.rlen AS ref_len,
+       m1.v / greatest(tots.t1, 1) * 1.0 AS p1,
+       m2.v / greatest(tots.t2, 1) * 1.0 AS p2,
+       CASE WHEN tots.plen >= tots.rlen THEN 1.0
+            ELSE exp(1.0 - tots.rlen / (tots.plen * 1.0)) END AS bp,
+       CASE WHEN m1.v > 0 AND m2.v > 0 THEN
+         (CASE WHEN tots.plen >= tots.rlen THEN 1.0
+               ELSE exp(1.0 - tots.rlen / (tots.plen * 1.0)) END)
+         * exp(0.5 * (ln(m1.v * 1.0 / tots.t1) + ln(m2.v * 1.0 / tots.t2)))
+       ELSE 0.0 END AS bleu2
+FROM m1, m2, tots
+"""
+
+
+def _q_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.llmdata import embedding_semdedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_semdedup(ds)
+
+
+def _q_doc_dsir_weights(sf_dir: str):
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.llmdata import doc_dsir_weights
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return doc_dsir_weights(ds)
+
+
+def _q_source_jsonl_roundtrip(sf_dir: str):
+    from manga_ocr_ray.pipelines.llmdata import jsonl_roundtrip
+
+    return jsonl_roundtrip(sf_dir)
 
 
 def entry() -> Any:
@@ -800,12 +993,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_exttool": _q_media_exttool,
         "media_frames": _q_media_frames,
+        # round-4 wave 3: eval metrics + LLM-data ops (pipelines/llmdata.py)
+        "transcript_wer": _q_transcript_wer,
+        "transcript_token_f1": _q_transcript_token_f1,
+        "transcript_bleu": _q_transcript_bleu,
+        "embedding_semdedup": _q_embedding_semdedup,
+        "doc_dsir_weights": _q_doc_dsir_weights,
+        "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from manga_ocr_ray.pipelines import analytic as A
     from manga_ocr_ray.pipelines import documents as D
+    from manga_ocr_ray.pipelines import llmdata as L
     from manga_ocr_ray.pipelines import relational as R
     from manga_ocr_ray.pipelines import tpch as T
     from manga_ocr_ray.pipelines import tpch2 as T2
@@ -935,6 +1136,12 @@ def oracle_sql() -> dict[str, str]:
         "transcript_cjk_stats": _transcript_cjk_stats_sql(),
         "transcript_cer": _Q_TRANSCRIPT_CER_SQL,
         "transcript_ja_segment": _transcript_ja_segment_sql(),
+        "transcript_wer": _transcript_wer_sql(),
+        "transcript_token_f1": _transcript_token_f1_sql(),
+        "transcript_bleu": _transcript_bleu_sql(),
+        "embedding_semdedup": L.embedding_semdedup_sql(),
+        "doc_dsir_weights": L.doc_dsir_weights_sql(),
+        "source_jsonl_roundtrip": L.JSONL_ROUNDTRIP_SQL,
     }
 
 

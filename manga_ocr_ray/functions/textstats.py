@@ -50,6 +50,31 @@ def token_count_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.count_substring_regex(arr, pattern=TOKEN_PATTERN)
 
 
+def tokens_with_parent(
+    texts: pa.Array | pa.ChunkedArray, pattern: str = TOKEN_PATTERN,
+) -> tuple[pa.Array, np.ndarray]:
+    """(flat token strings, parent row index) for a whole batch — the
+    vectorized equivalent of per-row ``regexp_extract_all(text, pattern)``
+    (DuckDB oracle twin), Arrow-only: sentinel-wrap every match, split on
+    the sentinel, keep pieces that fully match.  ``parent`` is nondecreasing
+    (tokens grouped per row, in document order).  Unlike the dedup
+    tokenizer this does NOT lowercase — it mirrors the oracle-visible
+    TOKEN_PATTERN semantics used by the metric/quality queries."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    wrapped = pc.replace_substring_regex(
+        texts.fill_null(""), pattern=f"({pattern})", replacement="\x00\\1\x00")
+    toks = pc.split_pattern(wrapped, "\x00")
+    flat = pc.list_flatten(toks)
+    keep_arr = pc.and_(
+        pc.not_equal(pc.utf8_length(flat), pa.scalar(0)),
+        pc.match_substring_regex(flat, f"^(?:{pattern})$"),
+    )
+    keep = keep_arr.to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(toks).to_numpy()[keep]
+    return flat.filter(keep_arr), parent
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-document quality stats, all RE2/Arrow kernels (no Python rows):
 

@@ -1,0 +1,250 @@
+"""LLM-training-data operators, round 4: semantic dedup (SemDeDup),
+DSIR importance weighting, and a JSONL source round-trip.
+
+- :func:`embedding_semdedup` — SemDeDup (Abbas et al. 2023, public paper):
+  cluster embeddings, drop all-but-one of every within-cluster cosine
+  near-dup group.  The oracle-checkable variant here assigns to K FIXED
+  deterministic seed centroids in one pass (no iterative k-means — that
+  lives in ``stages.similarity.kmeans``) so a DuckDB twin can replay the
+  exact assignment; at 100 TB, K scales with the corpus (the paper uses
+  K ≈ n/10⁴) so the within-cluster pair step stays bounded, and the pair
+  scan runs per-cluster via ``groupby().map_groups`` — the same sharded
+  pattern as the near-dup verify stage.
+- :func:`doc_dsir_weights` — DSIR (Xie et al. 2023, public paper): hashed
+  n-gram importance weights log(p_target(f)/p_raw(f)) summed over each
+  document's features.  Two streaming passes: (1) per-block bucket-count
+  partials (B=1024 buckets — a fixed-size array, NOT vocab-sized) combined
+  driver-side, (2) per-doc weight via a broadcast B-double log-ratio table.
+  No shuffle at any corpus size; the only driver state is 2·B int64s.
+- :func:`jsonl_roundtrip` — newline-delimited JSON source (S-family): write
+  the documents table to JSONL once (deterministic), read it back with
+  ``ray.data.read_json`` — the oracle compares against the original parquet,
+  so the check pins the full escape/parse round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.hashing import md5_gate64
+from ..functions.textstats import TOKEN_PATTERN, tokens_with_parent
+from ..stages.similarity import _mat, _unit
+
+# ---- SemDeDup (deterministic seed-centroid variant) ------------------------
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.45
+
+
+def embedding_semdedup(
+    ds: rd.Dataset, *, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """→ (vec_id, cluster, keep): assign every vector to the nearest of the
+    K seed centroids (the K smallest ids — deterministic, oracle-replayable;
+    ties break to the lowest centroid id via argmax-first), then within each
+    cluster drop any vector that has a smaller-id neighbor at cosine ≥ tau.
+
+    The centroid matrix is tiny and rides the closure (broadcast once per
+    task, K·d doubles); assignment is one matmul per batch.  The pair scan
+    is per-cluster `map_groups` — bounded by cluster size, which the K
+    scaling rule keeps ~constant at any corpus size."""
+    seeds = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
+             .sort_values(id_col))
+    c = _unit(np.stack(seeds[vec_col].to_numpy()).astype(np.float64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _unit(_mat(t[vec_col]))
+        # np.argmax returns the FIRST max → ties resolve to the smallest
+        # centroid id, mirroring ORDER BY cos DESC, cid ASC in the oracle
+        cl = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({id_col: t[id_col], "cluster": cl,
+                         vec_col: t[vec_col]})
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        m = _unit(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        sim = m @ m.T
+        iu = np.triu_indices(len(g), k=1)
+        drop = np.zeros(len(g), dtype=bool)
+        hit = sim[iu] >= tau
+        drop[np.unique(iu[1][hit])] = True  # column index = the LARGER id
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster": g["cluster"].to_numpy(),
+            "keep": (~drop).astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def embedding_semdedup_sql(k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU,
+                           table: str = "embeddings") -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM {table} WHERE vec_id < {k}),
+     s AS (SELECT e.vec_id, c.cid,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS cos
+           FROM {table} e CROSS JOIN c),
+     a AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid) AS rn
+             FROM s) WHERE rn = 1),
+     d AS (SELECT DISTINCT a2.vec_id
+           FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+           JOIN {table} e1 ON e1.vec_id = a1.vec_id
+           JOIN {table} e2 ON e2.vec_id = a2.vec_id
+           WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                        CAST(e2.embedding AS DOUBLE[])) >= {tau})
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+"""
+
+
+# ---- DSIR hashed n-gram importance weights ---------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _gram_buckets(texts: pa.Array | pa.ChunkedArray,
+                  n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket index, parent row) for every unigram+bigram occurrence of the
+    batch — tokens via the oracle-visible TOKEN_PATTERN, buckets via the
+    batched DuckDB-md5 kernel (first 16 hex = uint64, mod B), bigrams as
+    shifted joins masked at row boundaries."""
+    tok, par = tokens_with_parent(texts, TOKEN_PATTERN)
+    tnp = tok.to_pandas().to_numpy()
+    grams = [tnp]
+    parents = [par]
+    if tnp.size >= 2:
+        valid = par[:-1] == par[1:]
+        sep = np.full(int(valid.sum()), " ", dtype=object)
+        grams.append(tnp[:-1][valid] + sep + tnp[1:][valid])
+        parents.append(par[:-1][valid])
+    g = np.concatenate(grams) if grams else np.empty(0, dtype=object)
+    p = np.concatenate(parents) if parents else np.empty(0, dtype=np.int64)
+    if not g.size:
+        return np.empty(0, dtype=np.int64), p
+    b = (md5_gate64(pa.array(g, pa.string())) % np.uint64(n_buckets)).astype(np.int64)
+    return b, p
+
+
+def doc_dsir_weights(
+    ds: rd.Dataset, *, target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS, text_col: str = "text",
+) -> rd.Dataset:
+    """→ (doc_id, n_feats, dsir_logw): per-document DSIR log importance
+    weight Σ_f [ln p̂_target(f) − ln p̂_raw(f)] over hashed unigram+bigram
+    occurrences, add-1 smoothed over the B buckets.
+
+    Pass 1 streams bucket-count partials (B rows per block, two int
+    columns); the driver combine touches only B-sized arrays.  Pass 2
+    re-streams the corpus against the broadcast B-double log-ratio — at
+    100 TB both passes are embarrassingly parallel with zero shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        b, p = _gram_buckets(t[text_col], n_buckets)
+        is_t = np.zeros(t.num_rows, dtype=bool)
+        if t.num_rows:
+            is_t = np.asarray(
+                [lg == target_lang for lg in t["lang"].to_pylist()])
+        c_all = np.bincount(b, minlength=n_buckets)
+        c_tgt = np.bincount(b[is_t[p]], minlength=n_buckets) \
+            if b.size else np.zeros(n_buckets, dtype=np.int64)
+        return pa.table({
+            "bucket": np.arange(n_buckets, dtype=np.int64),
+            "c_all": c_all.astype(np.int64), "c_tgt": c_tgt.astype(np.int64),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("bucket", sort=True)[["c_all", "c_tgt"]].sum()
+    c_all = np.zeros(n_buckets, dtype=np.int64)
+    c_tgt = np.zeros(n_buckets, dtype=np.int64)
+    c_all[agg.index.to_numpy()] = agg["c_all"].to_numpy()
+    c_tgt[agg.index.to_numpy()] = agg["c_tgt"].to_numpy()
+    tot_all, tot_tgt = int(c_all.sum()), int(c_tgt.sum())
+    logratio = (np.log((c_tgt + 1) / (tot_tgt + float(n_buckets)))
+                - np.log((c_all + 1) / (tot_all + float(n_buckets))))
+
+    def weigh(t: pa.Table) -> pa.Table:
+        b, p = _gram_buckets(t[text_col], n_buckets)
+        n = t.num_rows
+        n_feats = np.bincount(p, minlength=n).astype(np.int64)
+        logw = np.bincount(p, weights=logratio[b], minlength=n) \
+            if b.size else np.zeros(n)
+        return pa.table({"doc_id": t["doc_id"], "n_feats": n_feats,
+                         "dsir_logw": logw})
+
+    return ds.map_batches(weigh, batch_format="pyarrow")
+
+
+def doc_dsir_weights_sql(target_lang: str = DSIR_TARGET_LANG,
+                         n_buckets: int = DSIR_BUCKETS) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, unnest(list_concat(
+           toks,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         )) AS gram
+  FROM (SELECT doc_id, lang, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+        FROM documents)),
+gb AS (SELECT doc_id, lang,
+              CAST(CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT)
+                   % {n_buckets} AS BIGINT) AS b
+       FROM g),
+counts AS (SELECT b, count(*) AS c_all,
+                  sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS c_tgt
+           FROM gb GROUP BY b),
+tot AS (SELECT sum(c_all) AS ta, sum(c_tgt) AS tt FROM counts),
+lr AS (SELECT b, ln((c_tgt + 1) / (tt + {n_buckets}.0))
+                 - ln((c_all + 1) / (ta + {n_buckets}.0)) AS lr
+       FROM counts, tot),
+w AS (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             sum(lr.lr) AS dsir_logw
+      FROM gb JOIN lr USING (b) GROUP BY gb.doc_id)
+SELECT d.doc_id, COALESCE(w.n_feats, 0) AS n_feats,
+       COALESCE(w.dsir_logw, 0.0) AS dsir_logw
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+"""
+
+
+# ---- JSONL source round-trip -----------------------------------------------
+
+def jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Materialize the documents table as newline-delimited JSON once (via
+    DuckDB COPY — deterministic, atomic rename), then read it back with
+    ``ray.data.read_json``.  The oracle is the ORIGINAL parquet table, so a
+    hash match certifies the writer/reader escape round-trip."""
+    import duckdb
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/graft_jsonl_{base}/documents.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        duckdb.sql(
+            f"COPY (SELECT doc_id, text, lang, source, n_chars "
+            f"      FROM '{sf_dir}/documents.parquet' ORDER BY doc_id) "
+            f"TO '{tmp}' (FORMAT JSON)")
+        os.replace(tmp, path)
+    return rd.read_json(path).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""

@@ -1,0 +1,171 @@
+"""Round-4 wave 3: token-level eval metrics (WER / token-F1 / BLEU-2),
+SemDeDup, DSIR importance weights, JSONL source round-trip.
+
+Each vectorized kernel is pinned against a naive scalar twin here; the
+value-level gates are the DuckDB oracles in __ray_entry__ (checked by
+scripts/check_oracle.py at sf0.001 and sf0.01).
+"""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from manga_ocr_ray.functions.metrics import (
+    bleu2_from_partials, bleu_partial_batch, edit_distance_ids,
+    token_f1_batch, wer_batch)
+from manga_ocr_ray.functions.textstats import TOKEN_PATTERN, tokens_with_parent
+
+_TOK = re.compile(TOKEN_PATTERN)
+
+TEXTS = [
+    ("the cat sat on the mat", "the cat sat on the mat"),
+    ("the cat sat", "a cat sat down"),
+    ("", ""),
+    ("hello", ""),
+    ("", "world"),
+    ("a a a b", "a b b b"),
+    ("こんにちは 世界", "こんにちは せかい"),
+    ("x1 y2 z3", "z3 y2 x1"),
+]
+
+
+def _tbl():
+    return pa.table({
+        "conv_id": [f"c{i}" for i in range(len(TEXTS))],
+        "turn_idx": list(range(len(TEXTS))),
+        "extracted_text": [p for p, _ in TEXTS],
+        "expected_text": [r for _, r in TEXTS],
+    })
+
+
+def test_tokens_with_parent_matches_scalar_findall():
+    texts = [p for p, _ in TEXTS] + ["日本語abcです123", None]
+    tok, par = tokens_with_parent(pa.array(texts, pa.string()))
+    got = {}
+    for t, p in zip(tok.to_pylist(), par):
+        got.setdefault(int(p), []).append(t)
+    for i, t in enumerate(texts):
+        assert got.get(i, []) == _TOK.findall(t or "")
+
+
+def test_wer_batch_matches_scalar_twin():
+    out = wer_batch(_tbl()).to_pandas().set_index("turn_idx")
+
+    def ref_wer(p, r):
+        pt, rt = _TOK.findall(p), _TOK.findall(r)
+        dp = list(range(len(rt) + 1))
+        for i, ca in enumerate(pt):
+            new = [i + 1]
+            for j, cb in enumerate(rt):
+                new.append(min(dp[j] + (ca != cb), dp[j + 1] + 1, new[-1] + 1))
+            dp = new
+        return dp[-1], len(rt)
+
+    assert len(out) == len(TEXTS)  # every pair is under the vocab cap here
+    for i, (p, r) in enumerate(TEXTS):
+        edits, n_ref = ref_wer(p, r)
+        assert out.loc[i, "edits"] == edits, (i, p, r)
+        assert out.loc[i, "n_ref"] == n_ref
+        assert out.loc[i, "wer"] == pytest.approx(edits / max(n_ref, 1))
+
+
+def test_wer_vocab_cap_filters_both_sides_identically():
+    big = " ".join(f"tok{i}" for i in range(120))  # vocab 120 > 90
+    t = pa.table({
+        "conv_id": ["a", "b"], "turn_idx": [0, 1],
+        "extracted_text": [big, "small text"],
+        "expected_text": [big + " extra", "small text"],
+    })
+    out = wer_batch(t).to_pandas()
+    assert out["turn_idx"].tolist() == [1]
+
+
+def test_token_f1_matches_counter_twin():
+    from collections import Counter
+
+    out = token_f1_batch(_tbl()).to_pandas().set_index("turn_idx")
+    for i, (p, r) in enumerate(TEXTS):
+        cp, cr = Counter(_TOK.findall(p)), Counter(_TOK.findall(r))
+        common = sum(min(c, cr[t]) for t, c in cp.items())
+        assert out.loc[i, "n_common"] == common
+        denom = sum(cp.values()) + sum(cr.values())
+        want = 1.0 if denom == 0 else 2.0 * common / denom
+        assert out.loc[i, "f1"] == pytest.approx(want)
+
+
+def test_bleu2_matches_naive_twin():
+    from collections import Counter
+
+    parts = bleu_partial_batch(_tbl()).to_pandas().sum()
+    m = bleu2_from_partials(parts)
+
+    def grams(toks, n):
+        return Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+    m1 = t1 = m2 = t2 = plen = rlen = 0
+    for p, r in TEXTS:
+        pt, rt = _TOK.findall(p), _TOK.findall(r)
+        plen += len(pt)
+        rlen += len(rt)
+        for n in (1, 2):
+            gp, gr = grams(pt, n), grams(rt, n)
+            match = sum(min(c, gr[g]) for g, c in gp.items())
+            tot = max(len(pt) - n + 1, 0)
+            if n == 1:
+                m1, t1 = m1 + match, t1 + tot
+            else:
+                m2, t2 = m2 + match, t2 + tot
+    import math
+
+    assert (m["match1"], m["total1"], m["match2"], m["total2"]) == (m1, t1, m2, t2)
+    bp = 1.0 if plen >= rlen else math.exp(1 - rlen / plen)
+    want = bp * math.exp(0.5 * (math.log(m1 / t1) + math.log(m2 / t2)))
+    assert m["bleu2"] == pytest.approx(want)
+    assert 0.0 < m["bleu2"] < 1.0  # perturbed corpus: metric must move
+
+
+def test_edit_distance_ids_degenerate():
+    assert edit_distance_ids(np.array([], dtype=np.int64),
+                             np.array([1, 2])) == 2
+    assert edit_distance_ids(np.array([1, 2, 3]),
+                             np.array([], dtype=np.int64)) == 3
+
+
+def test_semdedup_drops_planted_duplicates(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.llmdata import embedding_semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    base[25] = base[3] * 1.7          # exact direction dup → cosine 1.0
+    base[31] = base[9] + 0.01 * rng.standard_normal(16)  # near dup
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": [v.astype(np.float64) for v in base],
+    }))
+    out = embedding_semdedup(ds, k=4, tau=0.95).set_index("vec_id")
+    assert out.loc[3, "keep"] == 1 and out.loc[25, "keep"] == 0
+    assert out.loc[9, "keep"] == 1 and out.loc[31, "keep"] == 0
+    # clusters of a vector and its planted dup must agree
+    assert out.loc[3, "cluster"] == out.loc[25, "cluster"]
+
+
+def test_dsir_weights_separate_target_from_offtarget(ray_session):
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.llmdata import doc_dsir_weights
+
+    target = ["the quick brown fox jumps over the lazy dog"] * 20
+    other = ["der schnelle braune fuchs springt faul darüber"] * 20
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": target + other,
+        "lang": ["en"] * 20 + ["de"] * 20,
+    })
+    out = doc_dsir_weights(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    en_w = out.loc[:19, "dsir_logw"].mean()
+    de_w = out.loc[20:, "dsir_logw"].mean()
+    assert en_w > de_w  # target-like docs must score higher
+    assert (out["n_feats"] > 0).all()
