@@ -470,6 +470,12 @@ def _q_source_jsonl_roundtrip(sf_dir: str):
     return jsonl_roundtrip(sf_dir)
 
 
+def _q_doc_prep_pipeline(sf_dir: str):
+    from manga_ocr_ray.pipelines.llmdata import doc_prep_pipeline
+
+    return doc_prep_pipeline(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -1000,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": _q_embedding_semdedup,
         "doc_dsir_weights": _q_doc_dsir_weights,
         "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
+        "doc_prep_pipeline": _q_doc_prep_pipeline,
     }
 
 
@@ -1142,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_semdedup": L.embedding_semdedup_sql(),
         "doc_dsir_weights": L.doc_dsir_weights_sql(),
         "source_jsonl_roundtrip": L.JSONL_ROUNDTRIP_SQL,
+        "doc_prep_pipeline": L.doc_prep_pipeline_sql(),
     }
 
 

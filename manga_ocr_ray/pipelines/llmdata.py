@@ -222,6 +222,86 @@ FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
 """
 
 
+# ---- end-to-end curation pipeline ------------------------------------------
+
+PREP_SALT = ":prep1"
+PREP_RATE = 0.8
+PREP_MIN_STOPWORD_RATIO = 0.05
+
+
+def doc_prep_pipeline(sf_dir: str) -> rd.Dataset:
+    """The composed training-data curation pipeline (the RedPajama/CCNet
+    shape) as ONE streaming Ray pipeline with ONE exact SQL oracle:
+
+        lang-id → keep 'en' → fixed stopword-ratio quality floor →
+        exact dedup (min-id per content) → deterministic md5 80% sample
+
+    Every stage is an already-oracle-certified operator; this entry pins
+    their COMPOSITION (filter-before-dedup ordering matters and is part of
+    the contract).  Scale shape: the only shuffle is the dedup groupby on
+    the 128-bit content hash — lang-id, quality, both filters and the
+    sample gate are all map-side."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import LangIdStage, quality_batch
+    from ..stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(LangIdStage, batch_format="pyarrow",
+                        concurrency=(1, 4))
+
+    def add_quality_and_filter(t: pa.Table) -> pa.Table:
+        q = quality_batch(t, "text")
+        t = t.append_column("stopword_ratio", q["stopword_ratio"])
+        mask = pc.and_(
+            pc.equal(t["lang_pred"], pa.scalar("en")),
+            pc.greater_equal(t["stopword_ratio"],
+                             pa.scalar(PREP_MIN_STOPWORD_RATIO)),
+        )
+        return t.filter(mask)
+
+    # materialize: the survivor set feeds the dedup aggregate AND its join,
+    # and its measured count sizes the join partitions (an empty hash
+    # partition loses its schema inside Acero — the bigram-LM wedge guard)
+    ds = ds.map_batches(add_quality_and_filter,
+                        batch_format="pyarrow").materialize()
+    from .relational import _join_partitions
+
+    n_parts = max(1, min(_join_partitions(), ds.count() // 1000))
+    ds = exact_dedup(ds, num_partitions=n_parts)
+
+    thresh = np.uint64(int(PREP_RATE * 2**64))
+
+    def sample_gate(t: pa.Table) -> pa.Table:
+        keep = md5_gate64(t["doc_id"], PREP_SALT) < thresh
+        return t.filter(pa.array(keep))
+
+    return (ds.map_batches(sample_gate, batch_format="pyarrow")
+            .select_columns(["doc_id", "lang_pred", "stopword_ratio"]))
+
+
+def doc_prep_pipeline_sql() -> str:
+    from ..functions.textstats import TOKEN_PATTERN, lang_id_sql
+    from .documents import _rate_threshold_hex
+
+    ratio = (r"len(regexp_extract_all(text, "
+             r"'(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b')) * 1.0 "
+             f"/ greatest(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 1)")
+    return f"""
+WITH f AS (SELECT doc_id, text, {lang_id_sql('text')} AS lang_pred,
+                  {ratio} AS stopword_ratio
+           FROM documents),
+ g AS (SELECT * FROM f
+       WHERE lang_pred = 'en' AND stopword_ratio >= {PREP_MIN_STOPWORD_RATIO}),
+ d AS (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM g)
+SELECT doc_id, lang_pred, stopword_ratio
+FROM d WHERE doc_id = keep_id
+  AND substring(md5(CAST(doc_id AS VARCHAR) || '{PREP_SALT}'), 1, 16)
+      < '{_rate_threshold_hex(PREP_RATE)}'
+"""
+
+
 # ---- JSONL source round-trip -----------------------------------------------
 
 def jsonl_roundtrip(sf_dir: str) -> rd.Dataset:

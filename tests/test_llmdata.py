@@ -153,6 +153,39 @@ def test_semdedup_drops_planted_duplicates(ray_session):
     assert out.loc[3, "cluster"] == out.loc[25, "cluster"]
 
 
+def test_prep_pipeline_filters_before_dedup(ray_session, tmp_path):
+    """Composition order is part of the contract: a duplicate whose MIN-id
+    copy fails the quality gate must still survive via its larger-id copy
+    (filter-first), not be dropped by a dedup-first plan."""
+    import pyarrow.parquet as pq
+    from manga_ocr_ray.pipelines.llmdata import (
+        PREP_SALT, doc_prep_pipeline)
+    from manga_ocr_ray.functions.hashing import md5_gate64
+
+    good = "the cat and the dog sat on the mat for a while"
+    # doc 0: same text but lang-breaking suffix would change content; instead
+    # make min-id copy fail the gate by being German (lang filter)
+    rows = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "der schnelle braune fuchs springt",   # 0: de → dropped
+            good,                                   # 1: en dup (min surviving id)
+            good,                                   # 2: en dup → deduped
+            "xyzzy qwerty plugh",                   # 3: en fallback, ratio 0 → dropped
+            good + " again",                        # 4: en unique
+            good,                                   # 5: en dup → deduped
+        ],
+    })
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.Table.from_pandas(rows), p)
+    out = doc_prep_pipeline(str(tmp_path)).to_pandas()
+    gate = md5_gate64(pa.array(np.arange(6, dtype=np.int64)), PREP_SALT) \
+        < np.uint64(int(0.8 * 2**64))
+    want = {i for i in (1, 4) if gate[i]}
+    assert set(out["doc_id"]) == want
+    assert (out["lang_pred"] == "en").all()
+
+
 def test_dsir_weights_separate_target_from_offtarget(ray_session):
     import ray.data as rd
     from manga_ocr_ray.pipelines.llmdata import doc_dsir_weights
