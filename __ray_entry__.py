@@ -476,6 +476,12 @@ def _q_doc_prep_pipeline(sf_dir: str):
     return doc_prep_pipeline(sf_dir)
 
 
+def _q_doc_ppl_buckets(sf_dir: str):
+    from manga_ocr_ray.pipelines.llmdata import doc_ppl_buckets
+
+    return doc_ppl_buckets(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -1007,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": _q_doc_dsir_weights,
         "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
         "doc_prep_pipeline": _q_doc_prep_pipeline,
+        "doc_ppl_buckets": _q_doc_ppl_buckets,
     }
 
 
@@ -1150,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_weights": L.doc_dsir_weights_sql(),
         "source_jsonl_roundtrip": L.JSONL_ROUNDTRIP_SQL,
         "doc_prep_pipeline": L.doc_prep_pipeline_sql(),
+        "doc_ppl_buckets": L.doc_ppl_buckets_sql(),
     }
 
 

@@ -302,6 +302,58 @@ FROM d WHERE doc_id = keep_id
 """
 
 
+# ---- CCNet perplexity buckets ----------------------------------------------
+
+PPL_BUCKETS = 3
+
+
+def doc_ppl_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet's head/middle/tail split: rank every document by its LM
+    perplexity (the corpus-self bigram-LM avg NLL — low = fluent) and cut
+    the corpus into ``PPL_BUCKETS`` rank terciles, exactly ``ntile()``
+    semantics (first ``n % k`` buckets take the extra row).
+
+    Composition of two certified operators: the bigram-LM scorer (broadcast
+    or join plan by cardinality) and the distributed ``global_rank``
+    (range-partitioned sort; only per-block counts touch the driver).
+    Bucket assignment is a vectorized formula over the rank — no second
+    shuffle."""
+    from .documents import q_doc_bigram_lm
+    from .relational import global_rank
+
+    nll = q_doc_bigram_lm(sf_dir)
+    ranked = global_rank(nll, ["avg_nll", "doc_id"], rank_col="rn")
+    n = ranked.count()
+    base, rem = divmod(n, PPL_BUCKETS)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy()
+        big = rem * (base + 1)  # rows living in the (base+1)-sized buckets
+        b = np.where(
+            rn <= big,
+            (rn - 1) // max(base + 1, 1) + 1,
+            rem + (rn - big - 1) // max(base, 1) + 1,
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_bigrams": t["n_bigrams"],
+            "avg_nll": t["avg_nll"], "ppl_bucket": b,
+        })
+
+    return ranked.map_batches(bucket, batch_format="pyarrow")
+
+
+def doc_ppl_buckets_sql() -> str:
+    from .documents import Q_DOC_BIGRAM_LM_SQL
+
+    return f"""
+WITH nllq AS ({Q_DOC_BIGRAM_LM_SQL})
+SELECT doc_id, n_bigrams, avg_nll,
+       CAST(ntile({PPL_BUCKETS}) OVER (ORDER BY avg_nll, doc_id) AS BIGINT)
+         AS ppl_bucket
+FROM nllq
+"""
+
+
 # ---- JSONL source round-trip -----------------------------------------------
 
 def jsonl_roundtrip(sf_dir: str) -> rd.Dataset:

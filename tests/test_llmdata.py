@@ -186,6 +186,27 @@ def test_prep_pipeline_filters_before_dedup(ray_session, tmp_path):
     assert (out["lang_pred"] == "en").all()
 
 
+def test_ppl_bucket_formula_matches_sql_ntile():
+    """The vectorized rank→bucket formula must equal SQL ntile(k) for every
+    n mod k, including the uneven first buckets."""
+    import duckdb
+
+    from manga_ocr_ray.pipelines import llmdata as L
+
+    k = L.PPL_BUCKETS
+    for n in (1, 2, 3, 4, 5, 7, 10, 11):
+        want = duckdb.sql(
+            f"SELECT ntile({k}) OVER (ORDER BY i) FROM range({n}) t(i)"
+        ).df().iloc[:, 0].to_numpy()
+        rn = np.arange(1, n + 1)
+        base, rem = divmod(n, k)
+        big = rem * (base + 1)
+        got = np.where(rn <= big,
+                       (rn - 1) // max(base + 1, 1) + 1,
+                       rem + (rn - big - 1) // max(base, 1) + 1)
+        assert (got == want).all(), (n, got, want)
+
+
 def test_dsir_weights_separate_target_from_offtarget(ray_session):
     import ray.data as rd
     from manga_ocr_ray.pipelines.llmdata import doc_dsir_weights
