@@ -869,6 +869,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_cjk_stats": _q_transcript_cjk_stats,
         "transcript_cer": _q_transcript_cer,
         "transcript_ja_segment": _q_transcript_ja_segment,
+        # round-4 wave-3 flagship-family gates (WER/F1/BLEU join the CER
+        # golden gate; prep_pipeline is the composed curation flagship) —
+        # swapped into the window over four entries whose families keep an
+        # in-window representative (orders_ntile + parts_dense_rank ↔
+        # orders_price_rank, char entropy ↔ doc_rarity/doc_token_freq_spectrum,
+        # fill/clean ↔ events_hourly_dense)
+        "transcript_wer": _q_transcript_wer,
+        "transcript_token_f1": _q_transcript_token_f1,
+        "transcript_bleu": _q_transcript_bleu,
+        "doc_prep_pipeline": _q_doc_prep_pipeline,
         # family representatives held over (driver-green r2/r3)
         "q1_pricing_summary": R.q1_pricing_summary,
         "doc_normalize": D.q_doc_normalize,
@@ -892,7 +902,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_freq_spectrum": D.q_doc_token_freq_spectrum,
         "events_segment_revenue": A.q_events_segment_revenue,
         "events_cube": A.q_events_cube,
-        "events_fill_clean": A.q_events_fill_clean,
         "doc_repeated_spans": D.q_doc_repeated_spans,
         "events_funnel": A.q_events_funnel,
         "doc_quality_gate": D.q_doc_quality_gate,
@@ -902,24 +911,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_hour": A.q_events_trailing_hour,
         "events_user_mode": A.q_events_user_mode,
         "doc_pii_scrub": D.q_doc_pii_scrub,
-        "doc_char_entropy": D.q_doc_char_entropy,
         "doc_pmi_pairs": D.q_doc_pmi_pairs,
         "nation_balance_fullouter": A.q_nation_balance_fullouter,
         "doc_fuzzy_token_join": D.q_doc_fuzzy_token_join,
         "doc_temperature_sample": D.q_doc_temperature_sample,
         "events_hourly_dense": A.q_events_hourly_dense,
         "doc_token_pagerank": D.q_doc_token_pagerank,
-        "orders_ntile": A.q_orders_ntile,
         "lineitem_corr": A.q_lineitem_corr,
         "events_value_trend": A.q_events_value_trend,
         "nations_intersect": A.q_nations_intersect,
-        "parts_dense_rank": A.q_parts_dense_rank,
         "doc_stratified_sample": D.q_doc_stratified_sample,
         "doc_source_cap": D.q_doc_source_cap,
         "doc_decontaminate": D.q_doc_decontaminate,
         # ---- driver window boundary (entries below were driver-certified in
         # r2/r3 — see CORRECTNESS_r02/r03.json — or are rows-only by design;
         # all oracle-bearing ones stay checked by scripts/check_oracle.py) ----
+        "orders_ntile": A.q_orders_ntile,
+        "doc_char_entropy": D.q_doc_char_entropy,
+        "parts_dense_rank": A.q_parts_dense_rank,
+        "events_fill_clean": A.q_events_fill_clean,
         "q3_shipping_priority": R.q3_shipping_priority,
         "filter_project": R.q_filter_project,
         "region_customer_count": R.q_region_customer_count,
@@ -1005,14 +1015,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_exttool": _q_media_exttool,
         "media_frames": _q_media_frames,
-        # round-4 wave 3: eval metrics + LLM-data ops (pipelines/llmdata.py)
-        "transcript_wer": _q_transcript_wer,
-        "transcript_token_f1": _q_transcript_token_f1,
-        "transcript_bleu": _q_transcript_bleu,
+        # round-4 wave 3: remaining eval-metric / LLM-data ops (the WER/F1/
+        # BLEU/prep_pipeline entries sit in the window above)
         "embedding_semdedup": _q_embedding_semdedup,
         "doc_dsir_weights": _q_doc_dsir_weights,
         "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
-        "doc_prep_pipeline": _q_doc_prep_pipeline,
         "doc_ppl_buckets": _q_doc_ppl_buckets,
     }
 
