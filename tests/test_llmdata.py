@@ -51,6 +51,28 @@ def test_tokens_with_parent_matches_scalar_findall():
         assert got.get(i, []) == _TOK.findall(t or "")
 
 
+def test_tokens_with_parent_property_random_unicode():
+    """Property: the sentinel tokenizer equals scalar findall on arbitrary
+    text INCLUDING embedded NULs (a pre-existing \\x00 acts as one more
+    separator — tokens can never span it in either implementation)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("ab1 ,.\x00漢かカX-"))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(alphabet, max_size=30), max_size=8))
+    def prop(texts):
+        tok, par = tokens_with_parent(pa.array(texts, pa.string()))
+        got = {}
+        for t, p in zip(tok.to_pylist(), par):
+            got.setdefault(int(p), []).append(t)
+        for i, t in enumerate(texts):
+            assert got.get(i, []) == _TOK.findall(t)
+
+    prop()
+
+
 def test_wer_batch_matches_scalar_twin():
     out = wer_batch(_tbl()).to_pandas().set_index("turn_idx")
 

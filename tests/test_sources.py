@@ -9,7 +9,25 @@ from manga_ocr_ray.sources import (
     IncrementalParquetSource,
     flatten_xml,
     read_corpus_lines,
+    read_csv_table,
 )
+
+
+def test_read_csv_table_roundtrip(ray_session, tmp_path):
+    """S5: quoting/escapes/unicode survive the CSV dialect defaults."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "name": ['plain', 'with,comma', 'quote "q" and\nnewline'],
+        "ja": ["こんにちは", "世界", ""],
+    })
+    p = tmp_path / "meta.csv"
+    df.to_csv(p, index=False)
+    got = read_csv_table(str(p)).to_pandas().sort_values("id").reset_index(drop=True)
+    # Arrow CSV reads empty string as null — normalize like the pipelines do
+    got["ja"] = got["ja"].fillna("")
+    pd.testing.assert_frame_equal(got, df)
 
 
 def test_read_corpus_lines(ray_session, tmp_path):
