@@ -21,15 +21,24 @@ import sys
 
 def _ray_init(num_cpus: int | None) -> bool:
     """Init Ray if needed; returns True iff WE started it (and so own the
-    shutdown — never tear down a session someone else created)."""
+    shutdown — never tear down a session someone else created).
+
+    Address comes from ``RAY_ADDRESS`` when set (the production path: under
+    ``ray job submit`` the job server exports it so the CLI JOINS the
+    cluster; this sandbox presets ``RAY_ADDRESS=local``), else a local
+    session.  ``--num-cpus`` only applies to a locally-started session — a
+    cluster's size is the cluster's."""
+    import os
+
     import ray
 
     if ray.is_initialized():
         return False
+    address = os.environ.get("RAY_ADDRESS", "local")
     kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
-    if num_cpus:
+    if num_cpus and address == "local":
         kwargs["num_cpus"] = num_cpus
-    ray.init(address="local", **kwargs)
+    ray.init(address=address, **kwargs)
     return True
 
 
