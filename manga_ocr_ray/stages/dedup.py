@@ -80,7 +80,12 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         num_partitions = max(8, cpus // 2)
-    hashed = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
+    # materialize: both the winner aggregate and the join consume `hashed`;
+    # without it the whole upstream pipeline (often a read + transform
+    # chain) executes twice.  Blocks spill to the object store at scale —
+    # cheaper than recomputing the upstream.
+    hashed = ds.map_batches(lambda t: add_content_hash(t, text_col),
+                            batch_format="pyarrow").materialize()
     keep = hashed.select_columns([*_HASH_KEYS, id_col]).groupby(_HASH_KEYS).aggregate(
         Min(id_col, alias_name="__keep_id")
     )
