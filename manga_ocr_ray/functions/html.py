@@ -165,21 +165,85 @@ def extract_main_html(html: str) -> str:
     return _classify_blocks(html)
 
 
+# Python str.strip()'s exact whitespace set (Unicode White_Space plus the
+# \x1c-\x1f separators CPython additionally treats as space), built from
+# str.isspace itself so it can never drift (no astral codepoint is space).
+# utf8_trim with this set makes the vectorized trim equal Python .strip().
+_PY_WHITESPACE = "".join(chr(c) for c in range(0x10000) if chr(c).isspace())
+
+_ANCHOR_PAIR_PAT = r"(?s)\x02.*?\x03"
+
+
+def _classify_blocks_array(marked: pa.Array) -> pa.Array:
+    """Vectorized :func:`_classify_blocks` over a whole column — the per-row
+    str.find loop becomes ~8 Arrow kernel passes over the flattened blocks.
+
+    Anchor accounting: the scalar loop pairs each \\x02 with the next \\x03
+    and counts ``j-i-3`` chars; the regex ``\\x02.*?\\x03`` produces the
+    identical non-overlapping pairing, so per block
+    ``anchor_chars = Σ match_len − 4·n_pairs`` (each match carries the two
+    markers + two stand-in spaces).  The scalar ``max(0, ·)`` clamp can only
+    bite when markers pre-exist in the INPUT text — the caller falls back to
+    the scalar path for such batches, so the two implementations stay
+    bit-equal everywhere (property-pinned)."""
+    import numpy as np
+
+    n_docs = len(marked)
+    blocks = pc.split_pattern(marked, "\x00")
+    flat = pc.list_flatten(blocks)
+    parent = pc.list_parent_indices(blocks).to_numpy()
+
+    lens = pc.utf8_length(flat)
+    n_pairs = pc.count_substring_regex(flat, pattern=_ANCHOR_PAIR_PAT)
+    depaired = pc.replace_substring_regex(flat, pattern=_ANCHOR_PAIR_PAT,
+                                          replacement="")
+    anchor_chars = (
+        lens.to_numpy(zero_copy_only=False)
+        - pc.utf8_length(depaired).to_numpy(zero_copy_only=False)
+        - 4 * n_pairs.to_numpy(zero_copy_only=False)
+    )
+    text = pc.replace_substring(flat, pattern="\x02", replacement="")
+    text = pc.replace_substring(text, pattern="\x03", replacement="")
+    stripped = pc.utf8_trim(text, characters=_PY_WHITESPACE)
+    slen = pc.utf8_length(stripped).to_numpy(zero_copy_only=False)
+    keep = (slen > 0) & ~(anchor_chars / np.maximum(1, slen) > MAX_LINK_DENSITY)
+
+    kept = stripped.filter(pa.array(keep))
+    for lit, rep in _ENTITY_STEPS:
+        kept = pc.replace_substring(kept, pattern=lit, replacement=rep)
+    counts = np.bincount(parent[keep], minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    la = pa.ListArray.from_arrays(offsets.astype(np.int32), kept)
+    return pc.binary_join(la, "\n")
+
+
 def extract_main_html_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Batched main-content extraction: all five document passes run as RE2
     Arrow kernels (comment strip, fused region strip, anchor marking, block
-    boundaries, tag strip); the per-row remainder (:func:`_classify_blocks`)
-    is C-level string ops only — no Python regex in the hot path."""
-    arr = pc.replace_substring_regex(arr, pattern=_COMMENT_PAT, replacement=" ")
-    arr = pc.replace_substring_regex(arr, pattern=_PRE_FUSED, replacement=" ")
-    arr = pc.replace_substring_regex(arr, pattern=_ANCHOR_WRAP_PAT,
-                                     replacement="\x02 \\1 \x03")
-    arr = pc.replace_substring_regex(arr, pattern=_BLOCK_SPLIT_RE.pattern,
-                                     replacement="\x00")
-    arr = pc.replace_substring_regex(arr, pattern=_TAG_PAT, replacement=" ")
+    boundaries, tag strip) and the density classification is vectorized too
+    (:func:`_classify_blocks_array`) — zero per-row Python in the hot path.
+    Batches whose INPUT text already contains marker/boundary control chars
+    (\\x00/\\x02/\\x03 — never produced by the wrap passes themselves) fall
+    back to the scalar classifier, whose clamp semantics define the
+    contract for that ill-formed case."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return pa.array([_classify_blocks(t) for t in arr.to_pylist()], pa.string())
+    raw_markers = pc.any(pc.match_substring_regex(
+        arr.fill_null(""), r"[\x00\x02\x03]")).as_py()
+    arr2 = pc.replace_substring_regex(arr, pattern=_COMMENT_PAT, replacement=" ")
+    arr2 = pc.replace_substring_regex(arr2, pattern=_PRE_FUSED, replacement=" ")
+    arr2 = pc.replace_substring_regex(arr2, pattern=_ANCHOR_WRAP_PAT,
+                                      replacement="\x02 \\1 \x03")
+    arr2 = pc.replace_substring_regex(arr2, pattern=_BLOCK_SPLIT_RE.pattern,
+                                      replacement="\x00")
+    arr2 = pc.replace_substring_regex(arr2, pattern=_TAG_PAT, replacement=" ")
+    if isinstance(arr2, pa.ChunkedArray):
+        arr2 = arr2.combine_chunks()
+    if raw_markers:
+        return pa.array([_classify_blocks(t) for t in arr2.to_pylist()],
+                        pa.string())
+    return _classify_blocks_array(arr2)
 
 
 def extract_main_html_batch(texts: list[str]) -> list[str]:

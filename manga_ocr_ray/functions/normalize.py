@@ -112,22 +112,31 @@ def _normalize_codepoints(arr: np.ndarray) -> np.ndarray:
     # 4a. dakuten/handakuten pair compose (2 codepoints -> 1), then
     # 4b. single-codepoint half->full translate
     if arr.size:
-        voiced = arr == 0xFF9E
-        semi = arr == 0xFF9F
-        if voiced.any() or semi.any():
-            prev_cp = np.empty(arr.shape, dtype=np.uint32)
-            prev_cp[0], prev_cp[1:] = 0, arr[:-1]
-            comp = np.where(voiced, _VOICED_LUT.take(prev_cp, mode="clip"), 0)
-            comp = np.where(semi, _SEMI_LUT.take(prev_cp, mode="clip"), comp)
-            hit = comp != 0
+        # marks are rare: gather only at mark positions instead of two
+        # full-array LUT takes (same values — the LUTs are only consulted
+        # where voiced/semi is True in the old formulation)
+        marks = np.flatnonzero((arr == 0xFF9E) | (arr == 0xFF9F))
+        marks = marks[marks > 0]  # a leading mark has no base (prev_cp = 0)
+        if marks.size:
+            prev_sub = arr[marks - 1]
+            comp_sub = np.where(arr[marks] == 0xFF9E,
+                                _VOICED_LUT.take(prev_sub, mode="clip"),
+                                _SEMI_LUT.take(prev_sub, mode="clip"))
+            hit = comp_sub != 0
             if hit.any():
-                idx = np.flatnonzero(hit)
+                idx = marks[hit]
                 arr = arr.copy()
-                arr[idx - 1] = comp[idx]
+                arr[idx - 1] = comp_sub[hit]
                 keep = np.ones(arr.shape, dtype=bool)
                 keep[idx] = False
                 arr = arr[keep]
-        arr = np.where(arr < _LUT_N, _H2Z_LUT.take(arr, mode="clip"), arr)
+        # h2z LUT take, fixing up the (rare) astral codepoints afterwards
+        # instead of paying a full np.where pass
+        out = _H2Z_LUT.take(arr, mode="clip")
+        astral = arr >= _LUT_N
+        if astral.any():
+            out[astral] = arr[astral]
+        arr = out
     return arr
 
 

@@ -314,6 +314,34 @@ def test_html_comment_region_interleaving():
     assert batched == [extract_main_html(d) for d in docs]
 
 
+def test_classify_blocks_vectorized_matches_scalar_property():
+    """The Arrow-kernel density classifier must equal the scalar str.find
+    loop on adversarial tag soup (anchors, nested markers, entities, empty
+    and link-dense blocks, unicode whitespace, raw-marker fallback)."""
+    import random
+
+    import pyarrow as pa
+
+    from manga_ocr_ray.functions.html import (extract_main_html,
+                                              extract_main_html_array)
+
+    rng = random.Random(17)
+    frags = ["<p>", "</p>", "<div>", "</div>", "<a href='y'>", "</a>",
+             "text", "  ", "&amp;", "&lt;b&gt;", "<nav>", "</nav>", "<br>",
+             "link", "<script>x</script>", "日本語　", "<!-- c -->",
+             " ", "\x1c", "word.", "\n", "<td>", "</td>"]
+    docs = ["".join(rng.choice(frags) for _ in range(rng.randint(0, 30)))
+            for _ in range(300)]
+    docs += ["", "<a href=x>only link</a>", "plain", None,
+             "a" * 5 + "<a>" + "b" * 100 + "</a>"]
+    got = extract_main_html_array(pa.array(docs, pa.string())).to_pylist()
+    assert got == [extract_main_html(d or "") for d in docs]
+    # pre-existing control chars route through the scalar fallback
+    raw = ["pre\x02existing", "x\x00y", "q\x03", "<p>fine</p>"]
+    got_raw = extract_main_html_array(pa.array(raw, pa.string())).to_pylist()
+    assert got_raw == [extract_main_html(d) for d in raw]
+
+
 def test_adaptive_batch_size(ray_session):
     """SURVEY §7.5 adaptive batching: wide payload rows shrink the extractor
     batch (bytes knob, not rows); narrow rows keep the 1024 default; lazy
