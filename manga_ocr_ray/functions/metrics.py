@@ -118,13 +118,14 @@ def cer_against_expected(extracted: rd.Dataset, expected: rd.Dataset,
 
 def join_pred_label(extracted: rd.Dataset, expected: rd.Dataset) -> rd.Dataset:
     """Key join of extracted vs golden on (conv_id, turn_idx) — the shared
-    front half of every extraction-quality metric (CER/WER/F1/BLEU)."""
-    import ray
+    front half of every extraction-quality metric (CER/WER/F1/BLEU).
+    Partition count comes from the one shared sizing policy."""
+    from ..pipelines.relational import _join_partitions
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     return extracted.select_columns(["conv_id", "turn_idx", "extracted_text"]).join(
         expected.select_columns(["conv_id", "turn_idx", "expected_text"]),
-        join_type="inner", num_partitions=max(8, cpus // 2), on=("conv_id", "turn_idx"),
+        join_type="inner", num_partitions=_join_partitions(),
+        on=("conv_id", "turn_idx"),
     )
 
 
@@ -181,15 +182,9 @@ def token_f1_batch(t: pa.Table, pred_col: str = "extracted_text",
 
 
 def _bigrams(tok: np.ndarray, par: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Within-row adjacent-token bigram strings ('a b') via shifted arrays
-    masked at row boundaries — tokens cannot contain spaces (TOKEN_PATTERN),
-    so the joined form is unambiguous and mirrors ``toks[i] || ' ' ||
-    toks[i+1]`` in SQL."""
-    if tok.size < 2:
-        return np.empty(0, dtype=object), np.empty(0, dtype=par.dtype)
-    valid = par[:-1] == par[1:]
-    sep = np.full(int(valid.sum()), " ", dtype=object)
-    return tok[:-1][valid] + sep + tok[1:][valid], par[:-1][valid]
+    from .textstats import bigrams_with_parent
+
+    return bigrams_with_parent(tok, par)
 
 
 def bleu_partial_batch(t: pa.Table, pred_col: str = "extracted_text",

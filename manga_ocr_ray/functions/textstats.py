@@ -75,6 +75,20 @@ def tokens_with_parent(
     return flat.filter(keep_arr), parent
 
 
+def bigrams_with_parent(tok: np.ndarray,
+                        par: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Within-row adjacent-token bigram strings ('a b') via shifted arrays
+    masked at row boundaries — the SINGLE definition shared by every
+    oracle-mirrored gram stream (BLEU, DSIR): tokens cannot contain spaces
+    (TOKEN_PATTERN), so the joined form is unambiguous and mirrors
+    ``toks[i] || ' ' || toks[i+1]`` in SQL exactly."""
+    if tok.size < 2:
+        return np.empty(0, dtype=object), np.empty(0, dtype=par.dtype)
+    valid = par[:-1] == par[1:]
+    sep = np.full(int(valid.sum()), " ", dtype=object)
+    return tok[:-1][valid] + sep + tok[1:][valid], par[:-1][valid]
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-document quality stats, all RE2/Arrow kernels (no Python rows):
 

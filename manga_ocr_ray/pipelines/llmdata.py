@@ -127,17 +127,13 @@ def _gram_buckets(texts: pa.Array | pa.ChunkedArray,
     batch — tokens via the oracle-visible TOKEN_PATTERN, buckets via the
     batched DuckDB-md5 kernel (first 16 hex = uint64, mod B), bigrams as
     shifted joins masked at row boundaries."""
+    from ..functions.textstats import bigrams_with_parent
+
     tok, par = tokens_with_parent(texts, TOKEN_PATTERN)
     tnp = tok.to_pandas().to_numpy()
-    grams = [tnp]
-    parents = [par]
-    if tnp.size >= 2:
-        valid = par[:-1] == par[1:]
-        sep = np.full(int(valid.sum()), " ", dtype=object)
-        grams.append(tnp[:-1][valid] + sep + tnp[1:][valid])
-        parents.append(par[:-1][valid])
-    g = np.concatenate(grams) if grams else np.empty(0, dtype=object)
-    p = np.concatenate(parents) if parents else np.empty(0, dtype=np.int64)
+    bg, bgp = bigrams_with_parent(tnp, par)
+    g = np.concatenate([tnp, bg])
+    p = np.concatenate([par, bgp])
     if not g.size:
         return np.empty(0, dtype=np.int64), p
     b = (md5_gate64(pa.array(g, pa.string())) % np.uint64(n_buckets)).astype(np.int64)
@@ -282,11 +278,13 @@ def doc_prep_pipeline(sf_dir: str) -> rd.Dataset:
 
 
 def doc_prep_pipeline_sql() -> str:
-    from ..functions.textstats import TOKEN_PATTERN, lang_id_sql
+    from ..functions.textstats import (_STOPWORD_PATTERN, TOKEN_PATTERN,
+                                       lang_id_sql)
     from .documents import _rate_threshold_hex
 
-    ratio = (r"len(regexp_extract_all(text, "
-             r"'(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b')) * 1.0 "
+    # interpolate the SAME pattern quality_batch compiles, so an edit to
+    # STOPWORDS_EN can never desynchronize pipeline and oracle
+    ratio = (f"len(regexp_extract_all(text, '{_STOPWORD_PATTERN}')) * 1.0 "
              f"/ greatest(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 1)")
     return f"""
 WITH f AS (SELECT doc_id, text, {lang_id_sql('text')} AS lang_pred,
@@ -364,7 +362,11 @@ def jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     import duckdb
 
     base = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/graft_jsonl_{base}/documents.jsonl"
+    src = os.stat(f"{sf_dir}/documents.parquet")
+    # cache key carries the source identity (size+mtime): a regenerated or
+    # different same-named corpus can never read a stale dump
+    path = (f"/tmp/graft_jsonl_{base}_{src.st_size}_"
+            f"{int(src.st_mtime)}/documents.jsonl")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp{os.getpid()}"
