@@ -482,6 +482,14 @@ def _q_doc_ppl_buckets(sf_dir: str):
     return doc_ppl_buckets(sf_dir)
 
 
+def _q_embedding_knn_classify(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.llmdata import embedding_knn_classify
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_knn_classify(ds)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -1021,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": _q_doc_dsir_weights,
         "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
         "doc_ppl_buckets": _q_doc_ppl_buckets,
+        "embedding_knn_classify": _q_embedding_knn_classify,
     }
 
 
@@ -1165,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "source_jsonl_roundtrip": L.JSONL_ROUNDTRIP_SQL,
         "doc_prep_pipeline": L.doc_prep_pipeline_sql(),
         "doc_ppl_buckets": L.doc_ppl_buckets_sql(),
+        "embedding_knn_classify": L.embedding_knn_classify_sql(),
     }
 
 

@@ -300,6 +300,78 @@ FROM d WHERE doc_id = keep_id
 """
 
 
+# ---- k-NN label classification ---------------------------------------------
+
+KNN_CLASSIFY_K = 5
+KNN_CLASSIFY_NQ = 32
+
+
+def embedding_knn_classify(
+    ds: rd.Dataset, *, k: int = KNN_CLASSIFY_K, n_queries: int = KNN_CLASSIFY_NQ,
+) -> pd.DataFrame:
+    """→ (query_id, pred_label): majority label among the k exact cosine
+    nearest neighbors (self excluded) of each of the first ``n_queries``
+    vectors — the labeled-embedding k-NN classifier (the standard probe for
+    embedding quality / nearest-class retrieval).
+
+    Reuses :func:`stages.similarity.knn_topk` — corpus streams once against
+    the broadcast query matrix; everything after the top-k (k·n_queries
+    rows) is driver-trivial.  Votes tie-break by (count desc, label asc);
+    neighbor ranking ties by (cosine desc, neighbor_id asc), both mirrored
+    by the window-function oracle.  Integer output — no float hash risk."""
+    from ..stages.similarity import knn_topk
+
+    qdf = (ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+           .sort_values("vec_id"))
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    top = knn_topk(ds.select_columns(["vec_id", "embedding"]), queries, k=k,
+                   query_ids=qdf["vec_id"].to_numpy())
+    # the neighbor-id set is k·n_queries (tiny): prune the corpus MAP-SIDE
+    # with an is_in kernel so only matching label rows reach the driver
+    import pyarrow.compute as pc
+
+    need = pa.array(np.unique(top["neighbor_id"].to_numpy()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["vec_id"], value_set=need))
+
+    labels = (ds.select_columns(["vec_id", "label"])
+              .map_batches(pick, batch_format="pyarrow").to_pandas())
+    m = top.merge(labels.rename(columns={"vec_id": "neighbor_id"}),
+                  on="neighbor_id")
+    votes = (m.groupby(["query_id", "label"]).size().rename("c")
+             .reset_index()
+             .sort_values(["query_id", "c", "label"],
+                          ascending=[True, False, True]))
+    pred = votes.groupby("query_id", sort=True).head(1)
+    return pd.DataFrame({
+        "query_id": pred["query_id"].to_numpy(np.int64),
+        "pred_label": pred["label"].to_numpy(np.int64),
+    })
+
+
+def embedding_knn_classify_sql(k: int = KNN_CLASSIFY_K,
+                               n_queries: int = KNN_CLASSIFY_NQ,
+                               table: str = "embeddings") -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM {table} WHERE vec_id < {n_queries}),
+ s AS (SELECT q.qid, e.vec_id AS nid, e.label,
+              list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+       FROM q CROSS JOIN {table} e WHERE e.vec_id <> q.qid),
+ r AS (SELECT qid, label FROM (
+         SELECT qid, label,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, nid) AS rn
+         FROM s) WHERE rn <= {k}),
+ v AS (SELECT qid, label, count(*) AS c FROM r GROUP BY qid, label)
+SELECT qid AS query_id, CAST(label AS BIGINT) AS pred_label FROM (
+  SELECT qid, label, row_number() OVER (PARTITION BY qid
+                                        ORDER BY c DESC, label) AS rn
+  FROM v) WHERE rn = 1
+"""
+
+
 # ---- CCNet perplexity buckets ----------------------------------------------
 
 PPL_BUCKETS = 3

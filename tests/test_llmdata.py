@@ -229,6 +229,29 @@ def test_ppl_bucket_formula_matches_sql_ntile():
         assert (got == want).all(), (n, got, want)
 
 
+def test_knn_classify_recovers_planted_clusters(ray_session):
+    """Queries embedded inside a tight same-label cluster must be assigned
+    that label; tie-break path (count desc, label asc) hit via k=2."""
+    import ray.data as rd
+    from manga_ocr_ray.pipelines.llmdata import embedding_knn_classify
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((3, 12)) * 5
+    vecs, labels = [], []
+    for i in range(60):
+        c = i % 3
+        vecs.append(centers[c] + 0.05 * rng.standard_normal(12))
+        labels.append(c)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "embedding": [v.astype(np.float64) for v in vecs],
+        "label": np.array(labels, dtype=np.int32),
+    }))
+    out = embedding_knn_classify(ds, k=5, n_queries=6).set_index("query_id")
+    for q in range(6):
+        assert out.loc[q, "pred_label"] == q % 3
+
+
 def test_dsir_weights_separate_target_from_offtarget(ray_session):
     import ray.data as rd
     from manga_ocr_ray.pipelines.llmdata import doc_dsir_weights
