@@ -490,6 +490,71 @@ def _q_embedding_knn_classify(sf_dir: str) -> pd.DataFrame:
     return embedding_knn_classify(ds)
 
 
+def _q_transcript_conv_stats(sf_dir: str):
+    """Per-conversation metadata profile over the FULL input schema of the
+    north-rule input_hint (conv_id, turn_idx, role, text, tool, ts): turn
+    counts by role, tool-call count, wall-clock span.  One map-side
+    indicator pass + a combining groupby — the canonical pre-extraction
+    corpus triage step (which conversations are agentic, how long they
+    run)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet",
+                         columns=["conv_id", "role", "tool", "ts"])
+
+    def ind(t: pa.Table) -> pa.Table:
+        role = t["role"].combine_chunks().fill_null("")
+        tool = t["tool"].combine_chunks().fill_null("")
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "is_user": pc.cast(pc.equal(role, "user"), pa.int64()),
+            "is_assistant": pc.cast(pc.equal(role, "assistant"), pa.int64()),
+            "is_tool": pc.cast(pc.not_equal(tool, ""), pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    g = (ds.map_batches(ind, batch_format="pyarrow")
+         .groupby("conv_id")
+         .aggregate(Count(alias_name="n_turns"),
+                    Sum("is_user", alias_name="n_user"),
+                    Sum("is_assistant", alias_name="n_assistant"),
+                    Sum("is_tool", alias_name="n_tool_calls"),
+                    Min("ts_us", alias_name="ts_min"),
+                    Max("ts_us", alias_name="ts_max")))
+
+    def final(t: pa.Table) -> pa.Table:
+        span = (t["ts_max"].to_numpy() - t["ts_min"].to_numpy()) / 1e6
+        out = pa.table({
+            "conv_id": t["conv_id"],
+            "n_turns": pc.cast(t["n_turns"], pa.int64()),
+            "n_user": pc.cast(t["n_user"], pa.int64()),
+            "n_assistant": pc.cast(t["n_assistant"], pa.int64()),
+            "n_tool_calls": pc.cast(t["n_tool_calls"], pa.int64()),
+            "span_sec": pa.array(span, pa.float64()),
+        })
+        return out
+
+    return g.map_batches(final, batch_format="pyarrow")
+
+
+def _transcript_conv_stats_sql() -> str:
+    return f"""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tool_calls,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS DOUBLE) / 1000000.0
+         AS span_sec
+FROM '{_ORACLE_CORPUS}/transcripts.parquet'
+GROUP BY conv_id
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -1030,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
         "doc_ppl_buckets": _q_doc_ppl_buckets,
         "embedding_knn_classify": _q_embedding_knn_classify,
+        "transcript_conv_stats": _q_transcript_conv_stats,
     }
 
 
@@ -1175,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_prep_pipeline": L.doc_prep_pipeline_sql(),
         "doc_ppl_buckets": L.doc_ppl_buckets_sql(),
         "embedding_knn_classify": L.embedding_knn_classify_sql(),
+        "transcript_conv_stats": _transcript_conv_stats_sql(),
     }
 
 
