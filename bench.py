@@ -147,6 +147,8 @@ def run_queries() -> dict[str, float]:
         "doc_token_pagerank",
         # round-4 wave
         "q10_returned_items", "doc_winnowing", "doc_chunk_windows",
+        # round-4 wave 3 (eval metrics + LLM-data)
+        "doc_prep_pipeline", "doc_dsir_weights", "embedding_semdedup",
     ]
     out: dict[str, float] = {}
     for name in chosen:
