@@ -391,7 +391,10 @@ def doc_ppl_buckets(sf_dir: str) -> rd.Dataset:
     from .documents import q_doc_bigram_lm
     from .relational import global_rank
 
-    nll = q_doc_bigram_lm(sf_dir)
+    # materialize before the rank sort: a sort samples AND shuffles its
+    # input, re-executing a lazy upstream — here that would score the
+    # corpus under the bigram LM twice (the conversation_merge lesson)
+    nll = q_doc_bigram_lm(sf_dir).materialize()
     ranked = global_rank(nll, ["avg_nll", "doc_id"], rank_col="rn")
     n = ranked.count()
     base, rem = divmod(n, PPL_BUCKETS)
