@@ -385,11 +385,15 @@ def conversation_merge(
             "n_turns": pa.array(n_turns.astype(np.int64)),
         })
 
-    # Materialize the (projected) input before the first all-to-all: the two
-    # sort-based groupby stages otherwise RE-EXECUTE the lazy upstream —
-    # measured 294 s → 84 s end-to-end at the 17M-turn bench when the
-    # upstream is the extraction pipeline (the object store spills blocks at
-    # scale, which is strictly cheaper than recomputing extraction).
+    # Materialize the (projected) input before the first all-to-all.
+    # Measured 294 s → 71-84 s end-to-end at the 17M-turn bench (8 cpus)
+    # when the upstream is the extraction pipeline.  A counter-actor probe
+    # showed sort does NOT re-execute a lazy upstream, so the win is
+    # execution-phase separation: one fused streaming execution interleaves
+    # the CPU-bound extraction tasks with the sort-shuffle stages on the
+    # shared CPU budget and degrades far beyond their sum; the barrier runs
+    # extraction at full width first (blocks spill to the object store at
+    # scale — bounded, and far cheaper than the contention).
     projected = (extracted.select_columns(["conv_id", "turn_idx", text_col])
                  .map_batches(add_keys, batch_format="pyarrow")
                  .materialize())
