@@ -263,6 +263,39 @@ def test_json_kernel_fast_path_equivalence():
     assert got == want, list(zip(payloads, got, want))
 
 
+def test_extractor_fuzz_never_crashes_and_is_deterministic():
+    """Robustness property: arbitrary byte soup in any payload kind must
+    never raise (poison rows quarantine instead) and two runs over the same
+    batch must be bit-identical (north rule: determinism across runs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from manga_ocr_ray.stages.extractor import extract_batch_task
+
+    kinds = st.sampled_from(["html", "pdf", "json", "text", "", "bogus"])
+    junk = st.text(
+        st.sampled_from(list('<>{}[]"&;ab1\\\x00\x02\x03\n\t日ｶﾞ …')),
+        max_size=40)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(junk, kinds), min_size=1, max_size=12))
+    def prop(rows):
+        batch = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(len(rows))]),
+            "turn_idx": pa.array(np.arange(len(rows), dtype=np.int32)),
+            "role": pa.array(["user"] * len(rows)),
+            "tool": pa.array([k for _, k in rows]),
+            "ts": pa.array(np.zeros(len(rows), dtype="datetime64[us]")),
+            "text": pa.array([t for t, _ in rows], pa.string()),
+        })
+        out1 = extract_batch_task(batch)
+        out2 = extract_batch_task(batch)
+        assert out1.equals(out2)
+        assert out1.num_rows == len(rows)
+
+    prop()
+
+
 def test_frozen_end_to_end_vectors():
     """Hand-written payload → extracted-text literals, INDEPENDENT of both
     the corpus generator and post_process (ADVICE r2: the golden-corpus gate
