@@ -165,8 +165,11 @@ class LangIdStage:
     """Actor-pool stage: per-batch VECTORIZED language ID — the CJK counts
     and the per-language stopword scores are RE2 count kernels over the whole
     column; only the argmax/threshold decision runs in numpy.  Patterns are
-    compiled once per actor in ``__init__``.  Semantics identical to the
-    scalar :func:`lang_id` (and its SQL mirror), pinned by pytest."""
+    compiled once per actor in ``__init__``.  Semantics identical to the SQL
+    mirror (both use RE2 ``\\p{L}``) and to the scalar :func:`lang_id` on
+    all inputs EXCEPT Nl/No number-letters (Ⅻ, ①), which Python's ``\\w``
+    tokenizes but RE2's ``\\p{L}`` does not — see the __init__ comment;
+    stage ↔ scalar agreement on ordinary text is pinned by pytest."""
 
     _KANA = r"[\x{3040}-\x{30ff}\x{ff66}-\x{ff9f}]"
     _HAN = r"[\x{4e00}-\x{9fff}]"
@@ -223,7 +226,6 @@ class LangIdStage:
         # >0 iff some word is non-ascii, the scalar fallback's condition
         non_ascii_word = cnt(r"[^\x00-\x7f\P{L}]")
 
-        preds = np.full(len(text), "und", dtype=object)
         latin = np.where(best_s > 0,
                          np.array(self.langs, dtype=object)[best_i], "und")
         # fallback: every word pure-ascii -> 'en'
@@ -264,7 +266,9 @@ def fingerprint_map_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def lang_id_sql(expr: str = "text") -> str:
-    """DuckDB SQL expression replicating :func:`lang_id` exactly.
+    """DuckDB SQL expression replicating :class:`LangIdStage` exactly (and
+    the scalar :func:`lang_id` up to the Nl/No number-letter tokenizer
+    divergence noted on the class).
 
     CJK codepoint-fraction votes in the same order (ja → ko → zh), then
     stopword argmax over the same lists with first-in-dict-order winning

@@ -23,7 +23,6 @@ import time
 from typing import Any
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -218,33 +217,50 @@ def run_extraction(
     )
     ds.write_parquet(mf.data_dir(out_dir), partition_cols=["bucket"])
 
-    # per-bucket lineage metrics: tiny groupby over already-extracted rows
+    # per-bucket lineage metrics: tiny groupby over the NEW buckets only —
+    # a resume run must not re-scan the 63/64 already-committed partitions
+    # whose stats it would discard anyway
     from ray.data.aggregate import Count, Sum
 
-    stats = (
-        rd.read_parquet(mf.data_dir(out_dir), columns=["bucket", "raw_chars", "extracted_chars"])
-        .groupby("bucket")
-        .aggregate(Count(alias_name="rows"),
-                   Sum("raw_chars", alias_name="raw_chars"),
-                   Sum("extracted_chars", alias_name="extracted_chars"))
-        .to_pandas()
-    )
     elapsed = time.perf_counter() - t0
-    new_rows = 0
-    for rec in stats.to_dict("records"):
-        b = int(rec["bucket"])
-        if b in done:
-            continue
-        new_rows += int(rec["rows"])
+    ddir = mf.data_dir(out_dir)
+    new_files: list[str] = []
+    if os.path.isdir(ddir):
+        for name in sorted(os.listdir(ddir)):
+            if not name.startswith("bucket="):
+                continue
+            if int(name.split("=", 1)[1]) in done:
+                continue
+            sub = os.path.join(ddir, name)
+            new_files.extend(os.path.join(sub, f) for f in sorted(os.listdir(sub))
+                             if f.endswith(".parquet"))
+    new_recs: list[dict] = []
+    if new_files:
+        def tag_bucket(t: pa.Table) -> pa.Table:
+            b = [int(p.split("bucket=", 1)[1].split("/", 1)[0])
+                 for p in t["path"].to_pylist()]
+            return (t.drop_columns(["path"])
+                    .append_column("bucket", pa.array(b, pa.int64())))
+
+        stats = (
+            rd.read_parquet(new_files,
+                            columns=["raw_chars", "extracted_chars"],
+                            include_paths=True)
+            .map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Count(alias_name="rows"),
+                       Sum("raw_chars", alias_name="raw_chars"),
+                       Sum("extracted_chars", alias_name="extracted_chars"))
+            .to_pandas()
+        )
+        new_recs = stats.to_dict("records")
+    new_rows = sum(int(r["rows"]) for r in new_recs)
     turns_per_sec = new_rows / elapsed if elapsed > 0 else 0.0
-    for rec in stats.to_dict("records"):
-        b = int(rec["bucket"])
-        if b in done:
-            continue
+    for rec in new_recs:
         raw = int(rec["raw_chars"])
         ext = int(rec["extracted_chars"])
         mf.write_manifest(
-            out_dir, b, fingerprint, int(rec["rows"]),
+            out_dir, int(rec["bucket"]), fingerprint, int(rec["rows"]),
             metrics={
                 "strip_ratio": round(1.0 - ext / raw, 6) if raw else 0.0,
                 "chars_removed": raw - ext,
@@ -271,8 +287,6 @@ def verify_against_expected(extracted: rd.Dataset, expected: rd.Dataset) -> int:
     and texts are equal, and a row-count cross-check catches duplicate keys
     that pairwise-match each other.
     """
-    import pyarrow.compute as pc
-
     ex = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"])
     gold = expected.select_columns(["conv_id", "turn_idx", "expected_text"])
     import ray
@@ -283,14 +297,28 @@ def verify_against_expected(extracted: rd.Dataset, expected: rd.Dataset) -> int:
 
     def bad(t: pa.Table) -> pa.Table:
         mism = pc.fill_null(pc.not_equal(t["extracted_text"], t["expected_text"]), True)
+        nulls = pc.or_(pc.is_null(t["extracted_text"]),
+                       pc.is_null(t["expected_text"]))
         n = pc.sum(pc.cast(mism, pa.int64())).as_py() or 0
+        nn = pc.sum(pc.cast(nulls, pa.int64())).as_py() or 0
         return pa.table({"mismatch": pa.array([n], pa.int64()),
+                         "nulls": pa.array([nn], pa.int64()),
                          "rows": pa.array([t.num_rows], pa.int64())})
 
     parts = joined.map_batches(bad, batch_format="pyarrow").to_pandas().sum()
     n_ex, n_gold = ex.count(), gold.count()
-    dup_penalty = abs(n_ex - n_gold) if int(parts.get("rows", 0)) != n_gold else 0
-    return int(parts.get("mismatch", 0)) + dup_penalty
+    mismatch = int(parts.get("mismatch", 0))   # includes every null-side row
+    nulls = int(parts.get("nulls", 0))
+    rows = int(parts.get("rows", 0))
+    # Row-count discrepancies the join's null rows did NOT already surface:
+    # duplicate gold keys can absorb a missing extracted row with zero null
+    # rows (one extracted row matching two gold rows), and same-count dup
+    # keys on both sides inflate the join via cross products — both must
+    # fail even when every joined row text-matches.
+    hidden = max(0, abs(n_ex - n_gold) - nulls)
+    if hidden == 0 and rows != max(n_gold, n_ex):
+        hidden = 1
+    return mismatch + hidden
 
 
 # ---- ordered per-conversation merge (skew-safe) ----------------------------
@@ -309,7 +337,8 @@ def conversation_merge(
     trick from dedup): grouping per conversation would pay Ray's per-group
     task overhead ~10^6-10^12 times, so both stages group on a SHARD key
     (~thousands of groups) and merge all of a shard's conversations in one
-    vectorized pandas pass.  Stage 1 shards on hash(conv_id, turn_idx //
+    Arrow pass (sort_by + run detection + binary_join — no Python per
+    group).  Stage 1 shards on hash(conv_id, turn_idx //
     chunk_size) — a mega-conversation's chunks spread across shards — and
     joins each chunk's turns in turn order; stage 2 shards on hash(conv_id)
     and joins the (tiny) chunk parts in chunk order.
@@ -317,11 +346,27 @@ def conversation_merge(
     """
     from ..functions.hashing import hash64_array
 
+    # Materialize the (projected) input before the first all-to-all.
+    # Measured 294 s → 71-84 s end-to-end at the 17M-turn bench (8 cpus)
+    # when the upstream is the extraction pipeline.  A counter-actor probe
+    # showed sort does NOT re-execute a lazy upstream, so the win is
+    # execution-phase separation: one fused streaming execution interleaves
+    # the CPU-bound extraction tasks with the sort-shuffle stages on the
+    # shared CPU budget and degrades far beyond their sum; the barrier runs
+    # extraction at full width first (blocks spill to the object store at
+    # scale — bounded, and far cheaper than the contention).
+    projected = (extracted.select_columns(["conv_id", "turn_idx", text_col])
+                 .materialize())
     if num_shards is None:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        num_shards = max(32, cpus * 8)
+        # floor by CPUs, but ALSO scale with materialized bytes so one
+        # shard's text stays far below the 2 GB 32-bit Arrow offset cap the
+        # per-shard combine_chunks/binary_join kernels rely on (~512 MB
+        # target per shard)
+        num_shards = max(32, cpus * 8,
+                         int(projected.size_bytes() // (512 << 20)) + 1)
     S = np.uint64(num_shards)
 
     def add_keys(t: pa.Table) -> pa.Table:
@@ -385,20 +430,9 @@ def conversation_merge(
             "n_turns": pa.array(n_turns.astype(np.int64)),
         })
 
-    # Materialize the (projected) input before the first all-to-all.
-    # Measured 294 s → 71-84 s end-to-end at the 17M-turn bench (8 cpus)
-    # when the upstream is the extraction pipeline.  A counter-actor probe
-    # showed sort does NOT re-execute a lazy upstream, so the win is
-    # execution-phase separation: one fused streaming execution interleaves
-    # the CPU-bound extraction tasks with the sort-shuffle stages on the
-    # shared CPU budget and degrades far beyond their sum; the barrier runs
-    # extraction at full width first (blocks spill to the object store at
-    # scale — bounded, and far cheaper than the contention).
-    projected = (extracted.select_columns(["conv_id", "turn_idx", text_col])
-                 .map_batches(add_keys, batch_format="pyarrow")
-                 .materialize())
     chunks = (
         projected
+        .map_batches(add_keys, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(merge_chunks, batch_format="pyarrow")
     )

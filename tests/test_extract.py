@@ -347,6 +347,24 @@ def test_html_comment_region_interleaving():
     assert batched == [extract_main_html(d) for d in docs]
 
 
+def test_verify_detects_dup_gold_masking_missing_row(ray_session):
+    """Review r4: duplicate gold keys must not absorb a missing extracted
+    row — one extracted row matching two identical gold rows produced
+    joined_rows == n_gold with zero null rows under the old check."""
+    import ray.data as rd
+
+    from manga_ocr_ray.pipelines.extract import verify_against_expected
+
+    ex = rd.from_items([
+        {"conv_id": "c", "turn_idx": 0, "extracted_text": "a"},
+    ])
+    gold = rd.from_items([
+        {"conv_id": "c", "turn_idx": 0, "expected_text": "a"},
+        {"conv_id": "c", "turn_idx": 0, "expected_text": "a"},
+    ])
+    assert verify_against_expected(ex, gold) > 0
+
+
 def test_classify_blocks_vectorized_matches_scalar_property():
     """The Arrow-kernel density classifier must equal the scalar str.find
     loop on adversarial tag soup (anchors, nested markers, entities, empty
