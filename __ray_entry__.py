@@ -555,6 +555,64 @@ GROUP BY conv_id
 """
 
 
+def _q_transcript_tool_latency(sf_dir: str):
+    """Per-tool-call response latency: for every turn carrying a tool tag,
+    the seconds until the conversation's NEXT turn — ``lead(ts) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx)`` re-expressed as the sharded
+    vectorized window (hash(conv_id) shards, one Arrow sort + shifted-array
+    pass per shard; conversations never split across shards, so the lead is
+    exact).  The agent-transcript triage metric for slow tools."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from manga_ocr_ray.functions.hashing import hash64_array
+
+    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "tool", "ts"])
+    num_shards = 64
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = (hash64_array(t["conv_id"]) % np.uint64(num_shards)).astype(np.int32)
+        return t.append_column("shard", pa.array(sh))
+
+    def lead_in_shard(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = g["conv_id"].combine_chunks()
+        n = len(conv)
+        ts = pc.cast(g["ts"].combine_chunks(), pa.int64()).to_numpy()
+        tool = g["tool"].combine_chunks().fill_null("")
+        same_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_next[:-1] = pc.equal(conv.slice(1),
+                                      conv.slice(0, n - 1)).to_numpy(
+                                          zero_copy_only=False)
+        lat = np.full(n, np.nan)
+        lat[same_next] = (ts[np.flatnonzero(same_next) + 1]
+                          - ts[same_next]) / 1e6
+        keep = (pc.not_equal(tool, "").to_numpy(zero_copy_only=False)
+                & same_next)
+        out = pa.table({
+            "conv_id": conv, "turn_idx": g["turn_idx"], "tool": tool,
+            "latency_sec": pa.array(lat, pa.float64()),
+        })
+        return out.filter(pa.array(keep))
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(lead_in_shard, batch_format="pyarrow"))
+
+
+_Q_TRANSCRIPT_TOOL_LATENCY_SQL = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, tool,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+           / 1000000.0 AS latency_sec
+  FROM '{_ORACLE_CORPUS}/transcripts.parquet')
+SELECT conv_id, turn_idx, tool, latency_sec
+FROM w WHERE tool IS NOT NULL AND tool <> '' AND latency_sec IS NOT NULL
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -1096,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ppl_buckets": _q_doc_ppl_buckets,
         "embedding_knn_classify": _q_embedding_knn_classify,
         "transcript_conv_stats": _q_transcript_conv_stats,
+        "transcript_tool_latency": _q_transcript_tool_latency,
     }
 
 
@@ -1242,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ppl_buckets": L.doc_ppl_buckets_sql(),
         "embedding_knn_classify": L.embedding_knn_classify_sql(),
         "transcript_conv_stats": _transcript_conv_stats_sql(),
+        "transcript_tool_latency": _Q_TRANSCRIPT_TOOL_LATENCY_SQL,
     }
 
 
