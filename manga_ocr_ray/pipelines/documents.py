@@ -627,13 +627,22 @@ def q_doc_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
         scored = tf.map_batches(Score, fn_constructor_args=(idf_ref,),
                                 batch_format="pandas", concurrency=(1, 8))
 
-    def top5(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "token"], ascending=[False, True]).head(5)
-        g = g.copy()
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # Per-doc top-5 finish: group COUNT is corpus-sized (one group per doc),
+    # so a per-doc map_groups would pay Ray's per-group overhead 10^12 times
+    # at web scale.  Hash-shard on doc_id instead and run ONE vectorized
+    # pandas pass per shard (sort + C-level cumcount — the same amortization
+    # as conversation_merge / doc_rarity / the line-dedup reassembly).
+    from .relational import _shard_by_int
 
-    return scored.groupby("doc_id").map_groups(top5, batch_format="pandas")
+    def top5_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        rnk = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        g = g.assign(rnk=rnk.astype(np.int64))
+        return g[g["rnk"] <= 5].drop(columns=["shard"])
+
+    return _shard_by_int(scored, "doc_id").groupby("shard").map_groups(
+        top5_shard, batch_format="pandas")
 
 
 def q_doc_tfidf_sql() -> str:

@@ -19,6 +19,7 @@ by block order (Ray blocks are unordered).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any
 
@@ -346,7 +347,8 @@ def conversation_merge(
     """
     from ..functions.hashing import hash64_array
 
-    # Materialize the (projected) input before the first all-to-all.
+    # Materialize the (projected) input before the first all-to-all —
+    # POLICY KNOB `GRAFT_MERGE_BARRIER` (default on; set 0/false/off to fuse).
     # Measured 294 s → 71-84 s end-to-end at the 17M-turn bench (8 cpus)
     # when the upstream is the extraction pipeline.  A counter-actor probe
     # showed sort does NOT re-execute a lazy upstream, so the win is
@@ -354,9 +356,16 @@ def conversation_merge(
     # the CPU-bound extraction tasks with the sort-shuffle stages on the
     # shared CPU budget and degrades far beyond their sum; the barrier runs
     # extraction at full width first (blocks spill to the object store at
-    # scale — bounded, and far cheaper than the contention).
-    projected = (extracted.select_columns(["conv_id", "turn_idx", text_col])
-                 .materialize())
+    # scale — bounded, and far cheaper than the contention).  On a real
+    # multi-node cluster where extraction and shuffle aggregators run on
+    # disjoint resources the fused path avoids a full-corpus object-store
+    # spill of (conv_id, turn_idx, text) — hence the knob; both paths are
+    # oracle-green (tests/test_extract.py).
+    projected = extracted.select_columns(["conv_id", "turn_idx", text_col])
+    barrier = os.environ.get("GRAFT_MERGE_BARRIER", "1").lower() \
+        not in ("0", "false", "off")
+    if barrier:
+        projected = projected.materialize()
     if num_shards is None:
         import ray
 
@@ -364,9 +373,13 @@ def conversation_merge(
         # floor by CPUs, but ALSO scale with materialized bytes so one
         # shard's text stays far below the 2 GB 32-bit Arrow offset cap the
         # per-shard combine_chunks/binary_join kernels rely on (~512 MB
-        # target per shard)
+        # target per shard).  size_bytes() on a lazy dataset would force
+        # execution, so the byte term applies only on the barrier path; the
+        # fused path keeps the CPU floor (callers at known scale pass
+        # num_shards explicitly).
         num_shards = max(32, cpus * 8,
-                         int(projected.size_bytes() // (512 << 20)) + 1)
+                         (int(projected.size_bytes() // (512 << 20)) + 1)
+                         if barrier else 0)
     S = np.uint64(num_shards)
 
     def add_keys(t: pa.Table) -> pa.Table:
@@ -394,13 +407,23 @@ def conversation_merge(
     # ListArray/binary_join): the earlier pandas ``sep.join`` per group paid
     # Python-call overhead per CONVERSATION (~10^6-10^12 at scale) — 3.4×
     # slower per shard (measured round 4).
+    def _offsets32(starts: np.ndarray, n: int) -> np.ndarray:
+        # ListArray offsets are int32: a hash-skewed shard past 2^31 rows
+        # would WRAP silently (combine_chunks fails loudly for >2 GB strings,
+        # the offset cast would not) — fail loudly and name the fix instead.
+        if n >= 2**31:
+            raise ValueError(
+                f"merge shard has {n} rows >= 2^31: int32 ListArray offsets "
+                "would overflow — raise num_shards (or chunk_size)")
+        return np.r_[starts, n].astype(np.int32)
+
     def merge_chunks(g: pa.Table) -> pa.Table:
         g = g.sort_by([("conv_id", "ascending"), ("chunk", "ascending"),
                        ("turn_idx", "ascending")])
         conv = g["conv_id"].combine_chunks()
         chunk = g["chunk"].to_numpy()
         starts = _runs(conv, chunk)
-        offsets = np.r_[starts, len(conv)].astype(np.int32)
+        offsets = _offsets32(starts, len(conv))
         lists = pa.ListArray.from_arrays(pa.array(offsets),
                                          g[text_col].combine_chunks())
         return pa.table({
@@ -418,7 +441,7 @@ def conversation_merge(
         g = g.sort_by([("conv_id", "ascending"), ("chunk", "ascending")])
         conv = g["conv_id"].combine_chunks()
         starts = _runs(conv, None)
-        offsets = np.r_[starts, len(conv)].astype(np.int32)
+        offsets = _offsets32(starts, len(conv))
         lists = pa.ListArray.from_arrays(pa.array(offsets),
                                          g["part"].combine_chunks())
         n = g["n"].to_numpy()

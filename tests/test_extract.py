@@ -451,3 +451,23 @@ def test_task_mode_matches_actor_pool(ray_session):
 
     with pytest.raises(ValueError):
         extract_turns(ds, pool="threads")
+
+
+def test_merge_barrier_knob_paths_agree(ray_session, monkeypatch):
+    """GRAFT_MERGE_BARRIER policy knob (r4 verdict item 4): the staged
+    (materialize-barrier, single-node default) and fused (multi-node
+    spill-free) execution paths of conversation_merge must produce
+    bit-identical merges."""
+    from manga_ocr_ray.corpus import transcripts_dataset
+    from manga_ocr_ray.pipelines.extract import conversation_merge, extract_turns
+
+    ds = transcripts_dataset(50, seed=23).materialize()
+    extracted = extract_turns(ds, num_buckets=4, pool="task").materialize()
+
+    outs = {}
+    for env in ["1", "0"]:
+        monkeypatch.setenv("GRAFT_MERGE_BARRIER", env)
+        outs[env] = conversation_merge(extracted, chunk_size=16).to_pandas() \
+            .sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["1"], outs["0"])
+    assert (outs["1"]["n_turns"] > 0).all()
