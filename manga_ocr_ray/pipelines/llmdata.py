@@ -29,6 +29,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -67,24 +68,35 @@ def embedding_semdedup(
         return pa.table({id_col: t[id_col], "cluster": cl,
                          vec_col: t[vec_col]})
 
-    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).reset_index(drop=True)
-        m = _unit(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+    # dedup_cluster consumes AND emits Arrow: the upstream assign stage is
+    # Arrow, and a pandas block here would force a block-format conversion
+    # (plus Ray schema-mismatch warnings) between two Arrow stages.
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        g = g.sort_by(id_col)
+        m = _unit(_mat(g[vec_col]))
         sim = m @ m.T
-        iu = np.triu_indices(len(g), k=1)
-        drop = np.zeros(len(g), dtype=bool)
+        iu = np.triu_indices(g.num_rows, k=1)
+        drop = np.zeros(g.num_rows, dtype=bool)
         hit = sim[iu] >= tau
         drop[np.unique(iu[1][hit])] = True  # column index = the LARGER id
-        return pd.DataFrame({
-            id_col: g[id_col].to_numpy(),
-            "cluster": g["cluster"].to_numpy(),
-            "keep": (~drop).astype(np.int64),
+        return pa.table({
+            id_col: g[id_col],
+            "cluster": pc.cast(g["cluster"], pa.int64()),
+            "keep": pa.array((~drop).astype(np.int64)),
         })
 
+    # The groupby's range sort emits one output partition per input block,
+    # and only K of them can be non-empty (K distinct cluster keys) — empty
+    # range partitions ship schema-less bundles (executor warnings, wasted
+    # tasks).  Right-size the block count to ceil(rows/10k) clamped to K:
+    # at paper scale (K ≈ n/10^4) the clamp is inactive and the shuffle
+    # keeps full width; at bench scale it collapses the empties.
+    blocks = max(1, min(k, ds.count() // 10_000 + 1))
     out = (
         ds.map_batches(assign, batch_format="pyarrow")
+        .repartition(blocks)
         .groupby("cluster")
-        .map_groups(dedup_cluster, batch_format="pandas")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values(id_col).reset_index(drop=True)

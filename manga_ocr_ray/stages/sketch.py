@@ -188,8 +188,12 @@ def grouped_approx_quantiles(
         cpus = int(_r.cluster_resources().get("CPU", 4)) if _r.is_initialized() else 4
         num_shards = max(8, cpus * 2)
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    # Partials and the merge stay Arrow end-to-end (register blobs as
+    # pa.binary()): a pandas block in the middle forfeits zero-copy through
+    # the shard shuffle and trips Ray's block-format mismatch warnings.
+    def partial(t: pa.Table) -> pa.Table:
         lo_m, hi_m = ray.get(ref)
+        ktype = t.schema.field(key_col).type
         g = pd.DataFrame({
             "k": t[key_col].combine_chunks().to_numpy(zero_copy_only=False),
             "v": t[value_col].combine_chunks().to_numpy(zero_copy_only=False),
@@ -199,31 +203,38 @@ def grouped_approx_quantiles(
             keys.append(k)
             hists.append(histogram_partial(
                 sub["v"].to_numpy(np.float64), lo_m[k], hi_m[k], bins).tobytes())
-        out = pd.DataFrame({key_col: keys, "h": hists})
-        out["shard"] = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy() % num_shards
-        return out
+        karr = pa.array(keys, ktype)
+        shard = pd.util.hash_pandas_object(
+            pd.Series(keys), index=False).to_numpy() % num_shards
+        return pa.table({key_col: karr, "h": pa.array(hists, pa.binary()),
+                         "shard": pa.array(shard.astype(np.int64))})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or "h" not in g.columns:
-            cols = {key_col: pd.Series([], dtype="object")}
-            cols.update({f"q_{int(q*100)}": pd.Series([], dtype="float64") for q in qs})
-            return pd.DataFrame(cols)
+    def merge(g: pa.Table) -> pa.Table:
+        qcols = [f"q_{int(q * 100)}" for q in qs]
+        ktype = g.schema.field(key_col).type if key_col in g.column_names \
+            else pa.string()
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             **{c: pa.array([], pa.float64()) for c in qcols}})
         lo_m, hi_m = ray.get(ref)
-        rows = []
-        for k, sub in g.groupby(key_col, sort=False):
+        sub = pd.DataFrame({"k": g[key_col].to_pandas(),
+                            "h": g["h"].to_pandas()})
+        keys, quants = [], []
+        for k, s in sub.groupby("k", sort=False):
             merged = np.zeros(bins + 2, dtype=np.int64)
-            for blob in sub["h"]:
+            for blob in s["h"]:
                 merged += np.frombuffer(blob, dtype=np.int64)
-            row = {key_col: k}
-            for q in qs:
-                row[f"q_{int(q*100)}"] = histogram_quantile(merged, lo_m[k], hi_m[k], q)
-            rows.append(row)
-        return pd.DataFrame(rows)
+            keys.append(k)
+            quants.append([histogram_quantile(merged, lo_m[k], hi_m[k], q)
+                           for q in qs])
+        qm = np.asarray(quants, dtype=np.float64)
+        return pa.table({key_col: pa.array(keys, ktype),
+                         **{c: pa.array(qm[:, i]) for i, c in enumerate(qcols)}})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("shard")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -317,7 +328,11 @@ def grouped_approx_distinct(
         cpus = int(_r.cluster_resources().get("CPU", 4)) if _r.is_initialized() else 4
         num_shards = max(8, cpus * 2)
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    # Arrow end-to-end (same rationale as grouped_approx_quantiles): the
+    # register blobs ride as pa.binary(), so the shard shuffle never
+    # converts block formats.
+    def partial(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
         k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
         col = t[value_col].combine_chunks()
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
@@ -329,23 +344,29 @@ def grouped_approx_distinct(
         for kk, sub in g.groupby("k", sort=False):
             keys.append(kk)
             regs.append(hll_partial(sub["h"].to_numpy(), p).tobytes())
-        out = pd.DataFrame({key_col: keys, "regs": regs})
-        out["shard"] = pd.util.hash_pandas_object(out[key_col], index=False) \
-                         .to_numpy() % num_shards
-        return out
+        shard = pd.util.hash_pandas_object(
+            pd.Series(keys), index=False).to_numpy() % num_shards
+        return pa.table({key_col: pa.array(keys, ktype),
+                         "regs": pa.array(regs, pa.binary()),
+                         "shard": pa.array(shard.astype(np.int64))})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or "regs" not in g.columns:
-            return pd.DataFrame({key_col: pd.Series([], dtype="object"),
-                                 "approx_distinct": pd.Series([], dtype="int64")})
-        rows = []
-        for kk, sub in g.groupby(key_col, sort=False):
+    def merge(g: pa.Table) -> pa.Table:
+        ktype = g.schema.field(key_col).type if key_col in g.column_names \
+            else pa.string()
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "approx_distinct": pa.array([], pa.int64())})
+        sub = pd.DataFrame({"k": g[key_col].to_pandas(),
+                            "regs": g["regs"].to_pandas()})
+        keys, ests = [], []
+        for kk, s in sub.groupby("k", sort=False):
             merged = np.zeros(1 << p, dtype=np.uint8)
-            for blob in sub["regs"]:
+            for blob in s["regs"]:
                 np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
-            rows.append({key_col: kk,
-                         "approx_distinct": int(round(hll_estimate(merged)))})
-        return pd.DataFrame(rows)
+            keys.append(kk)
+            ests.append(int(round(hll_estimate(merged))))
+        return pa.table({key_col: pa.array(keys, ktype),
+                         "approx_distinct": pa.array(ests, pa.int64())})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("shard").map_groups(merge, batch_format="pandas"))
+              .groupby("shard").map_groups(merge, batch_format="pyarrow"))

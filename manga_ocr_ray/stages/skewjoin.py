@@ -44,19 +44,25 @@ def detect_hot_keys(fact: rd.Dataset, key: str, *, hot_frac: float = 0.001,
 
 
 class _HotMerge:
-    """Map-side merge of hot fact rows with their broadcast dim rows."""
+    """Map-side merge of hot fact rows with their broadcast dim rows —
+    Arrow in/out (``index_in`` + ``take``, no per-batch pandas round-trip);
+    the hash-join cold branch also emits Arrow, so ``union()`` sees one
+    block format."""
 
     def __init__(self, dim_ref, fact_key: str, dim_key: str):
-        dim: pd.DataFrame = ray.get(dim_ref)
-        self.dim = dim.set_index(dim_key)
-        self.fact_key, self.dim_key = fact_key, dim_key
+        dim: pa.Table = ray.get(dim_ref)
+        self.keys = dim[dim_key].combine_chunks()
+        self.dim_cols = {c: dim[c].combine_chunks()
+                         for c in dim.column_names if c != dim_key}
+        self.fact_key = fact_key
 
-    def __call__(self, b: pd.DataFrame) -> pa.Table:
-        merged = b.join(self.dim, on=self.fact_key, how="inner")
-        # Arrow output: Ray union() requires both branches' block types
-        # (and schemas) to match the hash-join side, which emits Arrow
-        return pa.Table.from_pandas(merged.reset_index(drop=True),
-                                    preserve_index=False)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[self.fact_key], value_set=self.keys)
+        keep = idx.is_valid()
+        t, idx = t.filter(keep), idx.filter(keep)
+        for name, col in self.dim_cols.items():
+            t = t.append_column(name, col.take(idx))
+        return t
 
 
 def skew_join_fact_dim(fact: rd.Dataset, fact_key: str, dim: rd.Dataset,
@@ -86,9 +92,9 @@ def skew_join_fact_dim(fact: rd.Dataset, fact_key: str, dim: rd.Dataset,
     cold_est = n - int(hot_rows["est_count"].sum())
 
     hot_arr = pa.array(hot)
-    dim_hot = dim.map_batches(
+    dim_hot = pa.Table.from_pandas(dim.map_batches(
         lambda t: t.filter(pc.is_in(t[dim_key], value_set=hot_arr)),
-        batch_format="pyarrow").to_pandas()          # ≤ top_k rows
+        batch_format="pyarrow").to_pandas(), preserve_index=False)  # ≤ top_k rows
     dim_ref = ray.put(dim_hot)
 
     fact_hot = fact.map_batches(
@@ -100,7 +106,7 @@ def skew_join_fact_dim(fact: rd.Dataset, fact_key: str, dim: rd.Dataset,
 
     merged_hot = fact_hot.map_batches(
         _HotMerge, fn_constructor_args=(dim_ref, fact_key, dim_key),
-        batch_format="pandas", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency)
     # output columns: fact ∪ (dim − dim_key) — the hash join keeps dim_key,
     # the map-side merge consumed it as the index; select the same order
     out_cols = list(fact.schema().names) + \
