@@ -972,19 +972,20 @@ def _q_media_frames(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so that the first 50 entries (the driver's correctness window)
-    are exactly 50 oracle-bearing queries.  ROUND-4 ROTATION (r3 VERDICT
-    item 6): the flagship transcript gates stay first, 13 family
-    representatives keep breadth, and the remaining 32 slots go to the
-    oracle-bearing queries the driver has NEVER certified (the r3
-    locally-only families) plus every operator changed this round
-    (tfidf/rarity/cohort join switches, PMI wedge fix, trailing-hour lift,
-    md5 gates, pagerank partitions).  Displaced entries were driver-green in
-    CORRECTNESS_r02/r03 and stay value-checked by scripts/check_oracle.py;
-    each displaced family keeps an in-window representative (rank ↔
-    orders_ntile/parts_dense_rank, set-ops ↔ nations_intersect, gap-fill ↔
-    events_hourly_dense, per-group-top-k ↔ doc_source_cap, chain joins ↔
-    order_revenue_join/events_segment_revenue, window ↔ events_value_trend/
-    events_first_last/events_trailing_hour, pivot ↔ events_cube)."""
+    are exactly 50 oracle-bearing queries.  ROUND-5 ROTATION (r4 VERDICT
+    item 1 — the final certification-completeness pass): the flagship
+    transcript gates stay first, 14 slots hold family representatives plus
+    every operator CHANGED this round (doc_tfidf_top_terms sharded finish,
+    transcript_merge barrier knob, embedding_semdedup Arrow dedup_cluster,
+    events_segment_revenue skew-join Arrow hot path), and the remaining 36
+    slots are exactly the oracle-bearing queries the driver has NEVER
+    certified in rounds 1-4 (the TPC-H completion wave q2/q4/q6-q16/q18-q22,
+    SemDeDup, DSIR, jsonl round-trip, ppl-buckets, winnowing, chunking, BPE
+    pairs, knn-classify, conv-stats, tool-latency, fill/clean, percent-rank,
+    MAD, funnel-latency, char-entropy, weighted-sample, ntile, dense-rank) —
+    green rows here raise cumulative driver certification to 133/133
+    oracle-bearing queries.  Displaced entries were driver-green in
+    CORRECTNESS_r02-r04 and stay value-checked by scripts/check_oracle.py."""
     from manga_ocr_ray.pipelines import analytic as A
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
@@ -1000,38 +1001,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_cjk_stats": _q_transcript_cjk_stats,
         "transcript_cer": _q_transcript_cer,
         "transcript_ja_segment": _q_transcript_ja_segment,
-        # round-4 wave-3 flagship-family gates (WER/F1/BLEU join the CER
-        # golden gate; prep_pipeline is the composed curation flagship) —
-        # swapped into the window over four entries whose families keep an
-        # in-window representative (orders_ntile + parts_dense_rank ↔
-        # orders_price_rank, char entropy ↔ doc_rarity/doc_token_freq_spectrum,
-        # fill/clean ↔ events_hourly_dense)
-        "transcript_wer": _q_transcript_wer,
-        "transcript_token_f1": _q_transcript_token_f1,
-        "transcript_bleu": _q_transcript_bleu,
+        # family representatives held over (driver-green r2-r4) + the four
+        # operators whose execution plans changed this round
         "doc_prep_pipeline": _q_doc_prep_pipeline,
-        # family representatives held over (driver-green r2/r3)
         "q1_pricing_summary": R.q1_pricing_summary,
         "doc_normalize": D.q_doc_normalize,
         "registry_clean": _q_registry_clean,
         "doc_exact_dedup": D.q_doc_exact_dedup,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "embedding_topk": _q_embedding_topk,
+        "doc_tfidf_top_terms": D.q_doc_tfidf_top_terms,   # sharded top-5 (r5)
+        "events_segment_revenue": A.q_events_segment_revenue,  # Arrow hot path (r5)
+        # ---- the 36 never-driver-certified oracle-bearing queries ----
+        # TPC-H completion wave (driver schema adaptations, tpch.py/tpch2.py)
+        "q2_min_cost_supplier": T2.q2_min_cost_supplier,
+        "q4_order_priority": T.q4_order_priority,
+        "q6_forecast_revenue": T.q6_forecast_revenue,
+        "q7_two_nation_volume": A.q7_two_nation_volume,
+        "q8_market_share": T2.q8_market_share,
+        "q9_profit_by_nation": T2.q9_profit_by_nation,
+        "q10_returned_items": T.q10_returned_items,
+        "q11_important_parts": T2.q11_important_parts,
+        "q12_late_shipments": T2.q12_late_shipments,
+        "q13_order_distribution": T2.q13_order_distribution,
+        "q14_promo_effect": T.q14_promo_effect,
+        "q15_top_supplier": T.q15_top_supplier,
+        "q16_supplier_counts": T2.q16_supplier_counts,
+        "q18_large_orders": T.q18_large_orders,
+        "q19_disjunctive_revenue": T2.q19_disjunctive_revenue,
+        "q20_dominant_suppliers": T2.q20_dominant_suppliers,
+        "q21_blocking_suppliers": T2.q21_blocking_suppliers,
+        "q22_idle_customers": T.q22_idle_customers,
+        # LLM-data / eval-metric wave
+        "embedding_semdedup": _q_embedding_semdedup,
+        "doc_dsir_weights": _q_doc_dsir_weights,
+        "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
+        "doc_ppl_buckets": _q_doc_ppl_buckets,
+        "doc_winnowing": X.q_doc_winnowing,
+        "doc_chunk_windows": X.q_doc_chunk_windows,
+        "doc_bpe_pairs": X.q_doc_bpe_pairs,
+        "embedding_knn_classify": _q_embedding_knn_classify,
+        "transcript_conv_stats": _q_transcript_conv_stats,
+        "transcript_tool_latency": _q_transcript_tool_latency,
+        # window/rank/robust-stat remainder
+        "events_fill_clean": A.q_events_fill_clean,
+        "events_percent_rank": A.q_events_percent_rank,
+        "events_value_mad": A.q_events_value_mad,
+        "events_funnel_latency": A.q_events_funnel_latency,
+        "doc_char_entropy": D.q_doc_char_entropy,
+        "doc_weighted_sample": A.q_doc_weighted_sample,
+        "orders_ntile": A.q_orders_ntile,
+        "parts_dense_rank": A.q_parts_dense_rank,
+        # ---- driver window boundary (entries below were driver-certified in
+        # r2/r3/r4 — see CORRECTNESS_r0{2,3,4}.json — or are rows-only by
+        # design; oracle-bearing ones stay checked by scripts/check_oracle.py) ----
+        "transcript_wer": _q_transcript_wer,
+        "transcript_token_f1": _q_transcript_token_f1,
+        "transcript_bleu": _q_transcript_bleu,
         "embedding_centroids": _q_embedding_centroids,
         "events_heavy_users": _q_events_heavy_users,
         "doc_lang_id": _q_doc_lang_id,
         "events_props": R.q_events_props,
         "order_revenue_join": R.q_order_revenue_join,
         "events_asof_signup": R.q_events_asof_signup,
-        # changed this round (cardinality-switched idf join) — re-certify
-        "doc_tfidf_top_terms": D.q_doc_tfidf_top_terms,
-        # never-driver-certified oracle-bearing families (r3 locally-only)
         "events_first_last": A.q_events_first_last,
         "doc_rarity": D.q_doc_rarity,
         "events_user_active_days": A.q_events_user_active_days,
         "events_cohort_retention": A.q_events_cohort_retention,
         "doc_token_freq_spectrum": D.q_doc_token_freq_spectrum,
-        "events_segment_revenue": A.q_events_segment_revenue,
         "events_cube": A.q_events_cube,
         "doc_repeated_spans": D.q_doc_repeated_spans,
         "events_funnel": A.q_events_funnel,
@@ -1054,13 +1091,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": D.q_doc_stratified_sample,
         "doc_source_cap": D.q_doc_source_cap,
         "doc_decontaminate": D.q_doc_decontaminate,
-        # ---- driver window boundary (entries below were driver-certified in
-        # r2/r3 — see CORRECTNESS_r02/r03.json — or are rows-only by design;
-        # all oracle-bearing ones stay checked by scripts/check_oracle.py) ----
-        "orders_ntile": A.q_orders_ntile,
-        "doc_char_entropy": D.q_doc_char_entropy,
-        "parts_dense_rank": A.q_parts_dense_rank,
-        "events_fill_clean": A.q_events_fill_clean,
         "q3_shipping_priority": R.q3_shipping_priority,
         "filter_project": R.q_filter_project,
         "region_customer_count": R.q_region_customer_count,
@@ -1104,34 +1134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": D.q_doc_top_tokens,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
-        # round-4 TPC-H wave (pipelines/tpch.py)
-        "q6_forecast_revenue": T.q6_forecast_revenue,
-        "q4_order_priority": T.q4_order_priority,
-        "q10_returned_items": T.q10_returned_items,
-        "q14_promo_effect": T.q14_promo_effect,
-        "q15_top_supplier": T.q15_top_supplier,
-        "q18_large_orders": T.q18_large_orders,
-        "q22_idle_customers": T.q22_idle_customers,
-        # round-4 TPC-H completion wave (pipelines/tpch2.py)
-        "q12_late_shipments": T2.q12_late_shipments,
-        "q13_order_distribution": T2.q13_order_distribution,
-        "q19_disjunctive_revenue": T2.q19_disjunctive_revenue,
-        "q11_important_parts": T2.q11_important_parts,
-        "q16_supplier_counts": T2.q16_supplier_counts,
-        "q2_min_cost_supplier": T2.q2_min_cost_supplier,
-        "q8_market_share": T2.q8_market_share,
-        "q9_profit_by_nation": T2.q9_profit_by_nation,
-        "q20_dominant_suppliers": T2.q20_dominant_suppliers,
-        "q21_blocking_suppliers": T2.q21_blocking_suppliers,
-        # round-4 text-prep wave (pipelines/textprep.py)
-        "doc_chunk_windows": X.q_doc_chunk_windows,
-        "doc_winnowing": X.q_doc_winnowing,
-        "doc_bpe_pairs": X.q_doc_bpe_pairs,
-        "events_percent_rank": A.q_events_percent_rank,
-        "events_value_mad": A.q_events_value_mad,
-        "q7_two_nation_volume": A.q7_two_nation_volume,
-        "events_funnel_latency": A.q_events_funnel_latency,
-        "doc_weighted_sample": A.q_doc_weighted_sample,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "spec_clean": _q_spec_clean,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1146,15 +1148,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_exttool": _q_media_exttool,
         "media_frames": _q_media_frames,
-        # round-4 wave 3: remaining eval-metric / LLM-data ops (the WER/F1/
-        # BLEU/prep_pipeline entries sit in the window above)
-        "embedding_semdedup": _q_embedding_semdedup,
-        "doc_dsir_weights": _q_doc_dsir_weights,
-        "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
-        "doc_ppl_buckets": _q_doc_ppl_buckets,
-        "embedding_knn_classify": _q_embedding_knn_classify,
-        "transcript_conv_stats": _q_transcript_conv_stats,
-        "transcript_tool_latency": _q_transcript_tool_latency,
     }
 
 

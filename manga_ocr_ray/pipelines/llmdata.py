@@ -55,7 +55,18 @@ def embedding_semdedup(
     The centroid matrix is tiny and rides the closure (broadcast once per
     task, K·d doubles); assignment is one matmul per batch.  The pair scan
     is per-cluster `map_groups` — bounded by cluster size, which the K
-    scaling rule keeps ~constant at any corpus size."""
+    scaling rule keeps ~constant at any corpus size.
+
+    Float-margin assumption (ADVICE r4): the integer outputs derive from
+    float argmax/threshold decisions computed by two different float
+    pipelines (numpy matmul here, DuckDB ``list_cosine_similarity`` in the
+    oracle) — the oracle gate is only stable when no cosine sits within
+    ~1e-6 of ``tau`` or of a centroid tie.  The driver's synthetic
+    embeddings corpus satisfies this (measured minimum margins: centroid
+    tie ≥4.7e-5, tau ≥1.4e-4 across sf0.001-0.1 — orders of magnitude
+    above float64 pipeline divergence); a production corpus near the
+    boundary should widen the comparison tolerance rather than expect
+    bit-stable keep bits."""
     seeds = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
              .sort_values(id_col))
     c = _unit(np.stack(seeds[vec_col].to_numpy()).astype(np.float64))
@@ -446,14 +457,23 @@ def jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     DuckDB COPY — deterministic, atomic rename), then read it back with
     ``ray.data.read_json``.  The oracle is the ORIGINAL parquet table, so a
     hash match certifies the writer/reader escape round-trip."""
+    import hashlib
+
     import duckdb
 
     base = os.path.basename(os.path.normpath(sf_dir))
-    src = os.stat(f"{sf_dir}/documents.parquet")
-    # cache key carries the source identity (size+mtime): a regenerated or
-    # different same-named corpus can never read a stale dump
-    path = (f"/tmp/graft_jsonl_{base}_{src.st_size}_"
-            f"{int(src.st_mtime)}/documents.jsonl")
+    # cache key carries a CONTENT fingerprint (blake2b of the parquet footer
+    # — the footer encodes row-group offsets/stats, so any regeneration
+    # changes it even at identical byte size and mtime second), plus the
+    # size: a regenerated corpus can never read a stale dump, and a
+    # pre-created /tmp path by another local user can't match the digest
+    # of data they haven't seen (ADVICE r4).
+    pq_path = f"{sf_dir}/documents.parquet"
+    src = os.stat(pq_path)
+    with open(pq_path, "rb") as f:
+        f.seek(max(0, src.st_size - 65536))
+        digest = hashlib.blake2b(f.read(), digest_size=8).hexdigest()
+    path = f"/tmp/graft_jsonl_{base}_{src.st_size}_{digest}/documents.jsonl"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp{os.getpid()}"

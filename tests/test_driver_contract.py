@@ -67,14 +67,26 @@ def test_driver_window_is_all_oracle_bearing(entrymod):
     assert window[0] == "transcript_extract"
     assert "transcript_merge" in window[:5]
     assert "transcript_cer" in window[:5]
-    # round-4 rotation: the r3 locally-only families and every operator
-    # changed this round must be inside the driver window
-    for name in ["doc_line_dedup", "doc_bigram_lm", "doc_token_pagerank",
-                 "doc_repeated_spans", "events_trailing_hour", "doc_pii_scrub",
-                 "doc_fuzzy_token_join", "events_value_trend", "doc_source_cap",
-                 "doc_pmi_pairs", "events_hourly_dense", "doc_rarity",
-                 "events_cohort_retention", "doc_tfidf_top_terms",
-                 "doc_stratified_sample", "doc_temperature_sample"]:
+    # round-5 rotation (final certification pass): the 36 never-before-
+    # driver-certified oracle-bearing queries plus every operator whose
+    # execution plan changed this round must be inside the driver window
+    never_certified = [
+        "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+        "q7_two_nation_volume", "q8_market_share", "q9_profit_by_nation",
+        "q10_returned_items", "q11_important_parts", "q12_late_shipments",
+        "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
+        "q16_supplier_counts", "q18_large_orders", "q19_disjunctive_revenue",
+        "q20_dominant_suppliers", "q21_blocking_suppliers",
+        "q22_idle_customers", "embedding_semdedup", "doc_dsir_weights",
+        "source_jsonl_roundtrip", "doc_ppl_buckets", "doc_winnowing",
+        "doc_chunk_windows", "doc_bpe_pairs", "embedding_knn_classify",
+        "transcript_conv_stats", "transcript_tool_latency",
+        "events_fill_clean", "events_percent_rank", "events_value_mad",
+        "events_funnel_latency", "doc_char_entropy", "doc_weighted_sample",
+        "orders_ntile", "parts_dense_rank"]
+    changed_r5 = ["doc_tfidf_top_terms", "transcript_merge",
+                  "embedding_semdedup", "events_segment_revenue"]
+    for name in never_certified + changed_r5:
         assert name in window, name
 
 
