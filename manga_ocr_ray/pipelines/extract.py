@@ -187,26 +187,24 @@ def run_extraction(
     batch_size: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
     quarantine: bool = False,
+    filesystem: Any = None,
 ) -> dict[str, Any]:
     """Resume-aware end-to-end run: extract missing buckets, write partitioned
-    parquet, commit per-bucket manifests with lineage metrics."""
-    done = mf.done_buckets(out_dir, fingerprint)
+    parquet, commit per-bucket manifests with lineage metrics.
+
+    ``out_dir`` may be a local/NFS path or an object-store URI
+    (``s3://bucket/extracted``) — manifests, crash-window repair and the
+    resume-stats scan all route through ``pyarrow.fs`` (ADVICE r4), so a
+    re-submitted ``ray job submit`` run resumes against S3 outputs too.
+    ``filesystem`` overrides URI resolution (tests inject a mock fs)."""
+    done = mf.done_buckets(out_dir, fingerprint, filesystem=filesystem)
     # crash-window repair: a bucket with data files but NO committed manifest
     # (killed between write and commit) must be REWRITTEN, not appended to —
     # clear any existing data for buckets we are about to reprocess.
-    import os
-    import shutil
-
-    ddir = mf.data_dir(out_dir)
-    if os.path.isdir(ddir):
-        for name in os.listdir(ddir):
-            if name.startswith("bucket="):
-                try:
-                    b = int(name.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if b not in done:
-                    shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
+    bucket_dirs = mf.list_bucket_dirs(out_dir, filesystem=filesystem)
+    for b, bpath in bucket_dirs:
+        if b not in done:
+            mf.delete_bucket_dir(out_dir, bpath, filesystem=filesystem)
     t0 = time.perf_counter()
     ds = extract_turns(
         source,
@@ -216,7 +214,8 @@ def run_extraction(
         skip_buckets=done,
         quarantine=quarantine,
     )
-    ds.write_parquet(mf.data_dir(out_dir), partition_cols=["bucket"])
+    ds.write_parquet(mf.data_dir(out_dir), partition_cols=["bucket"],
+                     filesystem=filesystem)
 
     # per-bucket lineage metrics: tiny groupby over the NEW buckets only —
     # a resume run must not re-scan the 63/64 already-committed partitions
@@ -224,17 +223,13 @@ def run_extraction(
     from ray.data.aggregate import Count, Sum
 
     elapsed = time.perf_counter() - t0
-    ddir = mf.data_dir(out_dir)
+    fs_, _ = mf.resolve_fs(mf.data_dir(out_dir), filesystem)
     new_files: list[str] = []
-    if os.path.isdir(ddir):
-        for name in sorted(os.listdir(ddir)):
-            if not name.startswith("bucket="):
-                continue
-            if int(name.split("=", 1)[1]) in done:
-                continue
-            sub = os.path.join(ddir, name)
-            new_files.extend(os.path.join(sub, f) for f in sorted(os.listdir(sub))
-                             if f.endswith(".parquet"))
+    for b, bpath in mf.list_bucket_dirs(out_dir, filesystem=filesystem):
+        if b in done:
+            continue
+        new_files.extend(
+            mf.list_bucket_files(out_dir, bpath, filesystem=filesystem))
     new_recs: list[dict] = []
     if new_files:
         def tag_bucket(t: pa.Table) -> pa.Table:
@@ -246,7 +241,7 @@ def run_extraction(
         stats = (
             rd.read_parquet(new_files,
                             columns=["raw_chars", "extracted_chars"],
-                            include_paths=True)
+                            include_paths=True, filesystem=fs_)
             .map_batches(tag_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .aggregate(Count(alias_name="rows"),
@@ -267,6 +262,7 @@ def run_extraction(
                 "chars_removed": raw - ext,
                 "turns_per_sec_run": round(turns_per_sec, 2),
             },
+            filesystem=filesystem,
         )
     return {
         "elapsed_sec": elapsed,

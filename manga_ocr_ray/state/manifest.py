@@ -16,71 +16,162 @@ fingerprint+version are skipped by filtering them out of the input BEFORE the
 extraction stage (vectorized anti-join against the small done-set — no
 shuffle).  A fingerprint mismatch invalidates the bucket (rule/input drift
 cannot silently mix outputs — SURVEY.md §7.5).
+
+All manifest/listing IO routes through ``pyarrow.fs`` (ADVICE r4): ``out_dir``
+may be a local path OR an object-store URI (``s3://bucket/extracted``), so a
+``ray job submit`` re-submission resumes correctly when outputs live in S3 —
+previously manifests silently targeted a literal local ``s3:/...`` directory
+on the driver.  Local commits stay write-tmp-then-rename (atomic on POSIX);
+object stores get a single PUT per manifest, which is atomic-visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import posixpath
 import time
 
 RULE_VERSION = "1"
 
 
+def _is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _join(base: str, *parts: str) -> str:
+    # URIs always use "/" regardless of host OS
+    return posixpath.join(base, *parts) if _is_uri(base) else \
+        os.path.join(base, *parts)
+
+
+def resolve_fs(path: str, filesystem=None):
+    """→ (pyarrow filesystem, fs-internal path) for a local path or any URI
+    ``pyarrow.fs.FileSystem.from_uri`` understands (s3://, gs://, hdfs://).
+    An explicit ``filesystem`` wins — tests inject ``_MockFileSystem`` to
+    exercise the object-store code path without network."""
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        return filesystem, path.split("://", 1)[1] if _is_uri(path) else path
+    if _is_uri(path):
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
 def manifest_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_manifests")
+    return _join(out_dir, "_manifests")
 
 
 def data_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "data")
+    return _join(out_dir, "data")
 
 
 def write_manifest(out_dir: str, bucket: int, fingerprint: str, rows: int,
-                   metrics: dict | None = None) -> None:
-    os.makedirs(manifest_dir(out_dir), exist_ok=True)
-    path = os.path.join(manifest_dir(out_dir), f"bucket={bucket}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "bucket": bucket,
-                "fingerprint": fingerprint,
-                "rule_version": RULE_VERSION,
-                "rows": rows,
-                "metrics": metrics or {},
-                "written_at": time.time(),
-            },
-            f,
-        )
-    os.replace(tmp, path)  # atomic commit
+                   metrics: dict | None = None, *, filesystem=None) -> None:
+    from pyarrow import fs as pafs
+
+    fs_, mdir = resolve_fs(manifest_dir(out_dir), filesystem)
+    fs_.create_dir(mdir, recursive=True)
+    payload = json.dumps(
+        {
+            "bucket": bucket,
+            "fingerprint": fingerprint,
+            "rule_version": RULE_VERSION,
+            "rows": rows,
+            "metrics": metrics or {},
+            "written_at": time.time(),
+        }
+    ).encode()
+    path = posixpath.join(mdir, f"bucket={bucket}.json")
+    if isinstance(fs_, pafs.LocalFileSystem):
+        # atomic commit: write sidecar, rename into place
+        tmp = f"{path}.tmp{os.getpid()}"
+        with fs_.open_output_stream(tmp) as f:
+            f.write(payload)
+        fs_.move(tmp, path)
+    else:
+        # object stores have no rename, but a single-object PUT is
+        # atomic-visible — readers see the old object or the new one
+        with fs_.open_output_stream(path) as f:
+            f.write(payload)
 
 
-def done_buckets(out_dir: str, fingerprint: str) -> set[int]:
+def _manifest_infos(fs_, mdir: str) -> list:
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(mdir, allow_not_found=True)
+    return sorted(
+        (i for i in fs_.get_file_info(sel)
+         if i.type == pafs.FileType.File and i.path.endswith(".json")),
+        key=lambda i: i.path)
+
+
+def done_buckets(out_dir: str, fingerprint: str, *,
+                 filesystem=None) -> set[int]:
     """Buckets already extracted for this exact input+rule version."""
-    mdir = manifest_dir(out_dir)
+    fs_, mdir = resolve_fs(manifest_dir(out_dir), filesystem)
     done: set[int] = set()
-    if not os.path.isdir(mdir):
-        return done
-    for name in os.listdir(mdir):
-        if not name.endswith(".json"):
-            continue
+    for info in _manifest_infos(fs_, mdir):
         try:
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
+            with fs_.open_input_stream(info.path) as f:
+                m = json.loads(f.read())
         except (json.JSONDecodeError, OSError):
             continue
-        if m.get("fingerprint") == fingerprint and m.get("rule_version") == RULE_VERSION:
+        if m.get("fingerprint") == fingerprint and \
+                m.get("rule_version") == RULE_VERSION:
             done.add(int(m["bucket"]))
     return done
 
 
-def read_manifests(out_dir: str) -> list[dict]:
-    mdir = manifest_dir(out_dir)
-    if not os.path.isdir(mdir):
-        return []
+def read_manifests(out_dir: str, *, filesystem=None) -> list[dict]:
+    fs_, mdir = resolve_fs(manifest_dir(out_dir), filesystem)
     out = []
-    for name in sorted(os.listdir(mdir)):
-        if name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                out.append(json.load(f))
+    for info in _manifest_infos(fs_, mdir):
+        with fs_.open_input_stream(info.path) as f:
+            out.append(json.loads(f.read()))
     return out
+
+
+def list_bucket_dirs(out_dir: str, *, filesystem=None) -> list[tuple[int, str]]:
+    """(bucket id, fs-internal dir path) for every ``bucket=<k>`` partition
+    directory under ``data/`` — object-store safe (S3 'directories' are the
+    listed common prefixes)."""
+    from pyarrow import fs as pafs
+
+    fs_, ddir = resolve_fs(data_dir(out_dir), filesystem)
+    sel = pafs.FileSelector(ddir, allow_not_found=True)
+    out = []
+    for info in fs_.get_file_info(sel):
+        name = info.base_name
+        if not name.startswith("bucket="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        out.append((b, info.path))
+    return sorted(out)
+
+
+def delete_bucket_dir(out_dir: str, bucket_path: str, *,
+                      filesystem=None) -> None:
+    """Remove one bucket partition (crash-window repair) — recursive, and a
+    no-op if it vanished meanwhile."""
+    fs_, _ = resolve_fs(data_dir(out_dir), filesystem)
+    try:
+        fs_.delete_dir(bucket_path)
+    except FileNotFoundError:
+        pass
+
+
+def list_bucket_files(out_dir: str, bucket_path: str, *,
+                      filesystem=None) -> list[str]:
+    """fs-internal paths of the parquet files inside one bucket dir."""
+    from pyarrow import fs as pafs
+
+    fs_, _ = resolve_fs(data_dir(out_dir), filesystem)
+    sel = pafs.FileSelector(bucket_path, allow_not_found=True)
+    return sorted(i.path for i in fs_.get_file_info(sel)
+                  if i.type == pafs.FileType.File
+                  and i.path.endswith(".parquet"))

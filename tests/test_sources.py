@@ -110,3 +110,55 @@ def test_flatten_xml():
     assert out["book"].to_pylist() == ["b1", "b1", "b2"]  # corrupt row skipped
     assert out["text"].to_pylist() == ["hello", "world", "solo"]
     assert out["id"].to_pylist() == ["1", "2", "9"]
+
+
+def test_manifests_on_object_store_fs():
+    """Manifest IO routes through pyarrow.fs (ADVICE r4): the object-store
+    branch (no rename — single PUT; FileSelector listing) must behave exactly
+    like the local branch.  Exercised via pyarrow's in-memory _MockFileSystem,
+    which is NOT a LocalFileSystem, so this pins the non-local code path."""
+    from pyarrow.fs import _MockFileSystem
+
+    from manga_ocr_ray.state import manifest as mf
+
+    fs = _MockFileSystem()
+    out = "bkt/extracted"
+    assert mf.done_buckets(out, "fp", filesystem=fs) == set()
+    assert mf.read_manifests(out, filesystem=fs) == []
+    mf.write_manifest(out, 3, "fp", 10, metrics={"strip_ratio": 0.5},
+                      filesystem=fs)
+    mf.write_manifest(out, 7, "fp", 20, filesystem=fs)
+    mf.write_manifest(out, 9, "OTHER", 5, filesystem=fs)
+    assert mf.done_buckets(out, "fp", filesystem=fs) == {3, 7}
+    ms = mf.read_manifests(out, filesystem=fs)
+    assert [m["bucket"] for m in ms] == [3, 7, 9]
+    assert ms[0]["metrics"]["strip_ratio"] == 0.5
+
+    # bucket-dir listing + crash-window repair on the mock store
+    fs.create_dir(f"{out}/data/bucket=3", recursive=True)
+    fs.create_dir(f"{out}/data/bucket=4", recursive=True)
+    with fs.open_output_stream(f"{out}/data/bucket=4/part0.parquet") as f:
+        f.write(b"x")
+    dirs = mf.list_bucket_dirs(out, filesystem=fs)
+    assert [b for b, _ in dirs] == [3, 4]
+    assert mf.list_bucket_files(out, dirs[1][1], filesystem=fs) == \
+        [f"{out}/data/bucket=4/part0.parquet"]
+    mf.delete_bucket_dir(out, dirs[1][1], filesystem=fs)
+    assert [b for b, _ in mf.list_bucket_dirs(out, filesystem=fs)] == [3]
+
+
+def test_manifest_uri_paths_resolve():
+    """URI out_dirs produce posix joins and scheme-stripped internal paths
+    when a filesystem is injected (s3:// resume would previously target a
+    literal local 's3:/...' directory)."""
+    from pyarrow.fs import _MockFileSystem
+
+    from manga_ocr_ray.state import manifest as mf
+
+    assert mf.manifest_dir("s3://bkt/out") == "s3://bkt/out/_manifests"
+    assert mf.data_dir("s3://bkt/out") == "s3://bkt/out/data"
+    fs = _MockFileSystem()
+    fs_out, internal = mf.resolve_fs("s3://bkt/out/_manifests", fs)
+    assert fs_out is fs and internal == "bkt/out/_manifests"
+    mf.write_manifest("s3://bkt/out", 1, "fp", 2, filesystem=fs)
+    assert mf.done_buckets("s3://bkt/out", "fp", filesystem=fs) == {1}
