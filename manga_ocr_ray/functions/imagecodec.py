@@ -237,3 +237,27 @@ def audio_features(x: np.ndarray, rate: int, n_bands: int = 8) -> np.ndarray:
     bands = np.add.reduceat(spec, edges[:-1])
     bands = np.log1p(bands / max(1, n))
     return np.concatenate([[n / rate, rms, zcr, centroid], bands])
+
+
+# ---- concatenated-PPM stream (ffmpeg image2pipe output) ---------------------
+
+
+def split_ppm_stream(data: bytes) -> list[bytes]:
+    """Split a concatenation of binary P6 frames (what
+    ``ffmpeg -f image2pipe -c:v ppm`` writes to stdout) into one payload per
+    frame — header-driven slicing, no scanning for magic bytes inside raster
+    data."""
+    frames: list[bytes] = []
+    i = 0
+    while i < len(data):
+        if data[i : i + 2] != b"P6":
+            raise ValueError(f"PPM stream desync at byte {i}")
+        (w, h, maxval), off = _pnm_tokens(data[i:], 3)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm needs PIL")
+        end = i + off + w * h * 3
+        if end > len(data):
+            raise ValueError("truncated PPM frame in stream")
+        frames.append(data[i:end])
+        i = end
+    return frames

@@ -12,7 +12,9 @@ Codec support is REAL for every format decodable without third-party libs
 public specs, numpy + stdlib only).  Compressed formats (PNG/JPEG/MP4)
 raise NotImplementedError naming the missing lib; ``fake=True`` adds a
 deterministic bytes→pixels fallback for *unknown* payloads so quarantine
-paths stay testable.  Video frame sampling remains stubbed (no ffmpeg).
+paths stay testable.  Video frame sampling is REAL when an ffmpeg binary is
+available (``sample_frames_ffmpeg``: subprocess → concatenated-PPM stdout →
+stdlib split/decode) and falls back to the honest stub otherwise.
 """
 
 from __future__ import annotations
@@ -47,6 +49,49 @@ FEATURE_DIM = 32
 
 # Rec. 601 luma weights for RGB -> grayscale
 _LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _ffmpeg_path() -> str | None:
+    """ffmpeg binary if one is usable — the same optional-gate pattern as
+    the PIL image path (imagecodec.decode_pil).  ``GRAFT_FFMPEG`` overrides
+    PATH lookup (tests inject a stand-in binary to exercise the real
+    subprocess path in a container without ffmpeg)."""
+    import os
+    import shutil
+
+    return os.environ.get("GRAFT_FFMPEG") or shutil.which("ffmpeg")
+
+
+def sample_frames_ffmpeg(ffmpeg: str, payload: bytes,
+                         every_ms: int) -> list[bytes]:
+    """REAL frame sampling: payload → temp file (most containers need a
+    seekable input) → ``ffmpeg -vf fps=1000/every_ms -f image2pipe -c:v ppm``
+    → split the concatenated-PPM stdout into one binary P6 payload per frame
+    (imagecodec.split_ppm_stream).  PPM keeps the downstream decode path the
+    engine's own stdlib codec — no PIL needed for the frames themselves.
+    Reference anchor: generic payload decode manga_ocr/ocr.py:102-110."""
+    import os
+    import subprocess
+    import tempfile
+
+    from ..functions.imagecodec import split_ppm_stream
+
+    fps = 1000.0 / max(1, every_ms)
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+        f.write(payload)
+        src = f.name
+    try:
+        r = subprocess.run(
+            [ffmpeg, "-v", "error", "-i", src, "-vf", f"fps={fps}",
+             "-f", "image2pipe", "-c:v", "ppm", "-"],
+            capture_output=True, timeout=300)
+        if r.returncode != 0:
+            raise ValueError(
+                f"ffmpeg failed (rc={r.returncode}): "
+                f"{r.stderr.decode(errors='replace')[:300]}")
+        return split_ppm_stream(r.stdout)
+    finally:
+        os.unlink(src)
 
 
 class Codec:
@@ -88,8 +133,13 @@ class Codec:
         return x, 8000
 
     def sample_frames(self, payload: bytes, duration_ms: int, every_ms: int) -> list[bytes]:
+        ff = _ffmpeg_path()
+        if ff is not None:
+            return sample_frames_ffmpeg(ff, payload, every_ms)
         if not self.fake:
-            raise NotImplementedError("real frame sampling needs ffmpeg")
+            raise NotImplementedError(
+                "real frame sampling needs ffmpeg (none on PATH; "
+                "set GRAFT_FFMPEG to the binary)")
         n = max(1, duration_ms // max(1, every_ms))
         step = max(1, len(payload) // n)
         return [payload[i * step : (i + 1) * step] for i in range(n)]

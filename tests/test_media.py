@@ -232,3 +232,50 @@ def test_pil_dispatch_with_pil(monkeypatch):
     assert out.shape == (4, 3, 3) and (out == rgb).all()
     gray = Codec().decode_image(_PNG_MAGIC, 3, 4)
     assert gray.shape == (4, 3)
+
+
+def test_ffmpeg_gated_frame_sampling(tmp_path, monkeypatch):
+    """Real frame sampling path (r4 verdict item 7): GRAFT_FFMPEG injects a
+    stand-in binary that emits two concatenated P6 frames, exercising the
+    subprocess + PPM-stream-split path end-to-end in a container without
+    ffmpeg; frames decode with the engine's own stdlib codec."""
+    from manga_ocr_ray.functions.imagecodec import decode_pnm, encode_ppm
+
+    a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    b = (255 - a).astype(np.uint8)
+    stream = tmp_path / "frames.bin"
+    stream.write_bytes(encode_ppm(a) + encode_ppm(b))
+    fake_ff = tmp_path / "ffmpeg"
+    fake_ff.write_text(f"#!/bin/sh\ncat '{stream}'\n")
+    fake_ff.chmod(0o755)
+    monkeypatch.setenv("GRAFT_FFMPEG", str(fake_ff))
+    frames = Codec(fake=False).sample_frames(b"\x00\x01videobytes", 2000, 1000)
+    assert len(frames) == 2
+    assert np.array_equal(decode_pnm(frames[0]), a)
+    assert np.array_equal(decode_pnm(frames[1]), b)
+
+
+def test_ffmpeg_failure_raises(tmp_path, monkeypatch):
+    fake_ff = tmp_path / "ffmpeg"
+    fake_ff.write_text("#!/bin/sh\necho boom >&2\nexit 3\n")
+    fake_ff.chmod(0o755)
+    monkeypatch.setenv("GRAFT_FFMPEG", str(fake_ff))
+    with pytest.raises(ValueError, match="ffmpeg failed"):
+        Codec(fake=False).sample_frames(b"x", 1000, 100)
+
+
+def test_frame_stub_names_ffmpeg_when_absent(monkeypatch):
+    monkeypatch.delenv("GRAFT_FFMPEG", raising=False)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        Codec(fake=False).sample_frames(b"x", 1000, 100)
+
+
+def test_split_ppm_stream_errors():
+    from manga_ocr_ray.functions.imagecodec import encode_ppm, split_ppm_stream
+
+    a = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_ppm(a)
+    with pytest.raises(ValueError, match="desync"):
+        split_ppm_stream(good + b"JUNK")
+    with pytest.raises(ValueError, match="truncated"):
+        split_ppm_stream(good[:-2])
