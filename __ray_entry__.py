@@ -1007,11 +1007,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "doc_normalize": D.q_doc_normalize,
         "registry_clean": _q_registry_clean,
-        "doc_exact_dedup": D.q_doc_exact_dedup,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "embedding_topk": _q_embedding_topk,
         "doc_tfidf_top_terms": D.q_doc_tfidf_top_terms,   # sharded top-5 (r5)
         "events_segment_revenue": A.q_events_segment_revenue,  # Arrow hot path (r5)
+        # join removed (Acero empty-partition wedge) — re-certify (r5)
+        "events_user_active_days": A.q_events_user_active_days,
         # ---- the 36 never-driver-certified oracle-bearing queries ----
         # TPC-H completion wave (driver schema adaptations, tpch.py/tpch2.py)
         "q2_min_cost_supplier": T2.q2_min_cost_supplier,
@@ -1066,7 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_signup": R.q_events_asof_signup,
         "events_first_last": A.q_events_first_last,
         "doc_rarity": D.q_doc_rarity,
-        "events_user_active_days": A.q_events_user_active_days,
+        "doc_exact_dedup": D.q_doc_exact_dedup,
         "events_cohort_retention": A.q_events_cohort_retention,
         "doc_token_freq_spectrum": D.q_doc_token_freq_spectrum,
         "events_cube": A.q_events_cube,

@@ -595,10 +595,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 def q_events_user_active_days(sf_dir: str) -> rd.Dataset:
     """Per-user active-day count + total events — COUNT(DISTINCT expr) GROUP
-    BY key as two chained combining groupbys (distinct (user, day) pairs,
-    then count per user), hash-joined to the plain per-user count.  Both agg
-    results are key-cardinality-sized; the join reuses the same key, so the
-    exchange is one small shuffle, never the raw table twice."""
+    BY key as two CHAINED combining groupbys: distinct (user, day) pairs
+    carry their event count ``_c``, so the second groupby derives BOTH
+    outputs (Count → n_days, Sum(_c) → n_events) from one stream.  No join
+    at all — the earlier two-aggregate hash-join plan was one more shuffle
+    AND intermittently hit Acero's empty-hash-partition schema-loss wedge
+    (``FieldRef.Name(user_id)``) when a partition of either agg came up
+    empty at small scale."""
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
     def add_day(t: pa.Table) -> pa.Table:
@@ -607,18 +610,16 @@ def q_events_user_active_days(sf_dir: str) -> rd.Dataset:
                          "day": pc.cast(day, pa.int32())})
 
     days = ds.map_batches(add_day, batch_format="pyarrow")
-    n_days = days.groupby(["user_id", "day"]).aggregate(Count(alias_name="_c")) \
-                 .groupby("user_id").aggregate(Count(alias_name="n_days"))
-    n_events = days.groupby("user_id").aggregate(Count(alias_name="n_events"))
-    joined = n_days.join(n_events, join_type="inner", on=("user_id",),
-                         num_partitions=_join_partitions())
+    agg = (days.groupby(["user_id", "day"]).aggregate(Count(alias_name="_c"))
+           .groupby("user_id")
+           .aggregate(Count(alias_name="n_days"), Sum("_c", alias_name="n_events")))
 
     def as_i64(t: pa.Table) -> pa.Table:
         return pa.table({"user_id": t["user_id"],
                          "n_days": pc.cast(t["n_days"], pa.int64()),
                          "n_events": pc.cast(t["n_events"], pa.int64())})
 
-    return joined.map_batches(as_i64, batch_format="pyarrow")
+    return agg.map_batches(as_i64, batch_format="pyarrow")
 
 
 Q_EVENTS_USER_ACTIVE_DAYS_SQL = """

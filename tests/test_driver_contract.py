@@ -85,7 +85,8 @@ def test_driver_window_is_all_oracle_bearing(entrymod):
         "events_funnel_latency", "doc_char_entropy", "doc_weighted_sample",
         "orders_ntile", "parts_dense_rank"]
     changed_r5 = ["doc_tfidf_top_terms", "transcript_merge",
-                  "embedding_semdedup", "events_segment_revenue"]
+                  "embedding_semdedup", "events_segment_revenue",
+                  "events_user_active_days"]
     for name in never_certified + changed_r5:
         assert name in window, name
 
