@@ -664,14 +664,20 @@ def _q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 
 def _q_embedding_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
     """The scale path (hyperplane LSH buckets, shard-verified): exact
-    precision, auto-tuned recall — at this corpus/threshold the seeded LSH
-    recovers the full exact pair set deterministically, so it shares the
-    exact oracle."""
+    precision always; recall tuned to near-exhaustive here
+    (target_recall=0.9999, max_tables=64 → (4 planes, 64 tables): a
+    threshold-exact pair is missed w.p. (1−p⁴)⁶⁴ ≈ 4e-6, p=0.6485) so the
+    seeded LSH recovers the full exact pair set deterministically at BOTH
+    test scales and shares the exact oracle.  The production default stays
+    (4, 16) / 0.95 recall — the IO-bounded setting; this gate deliberately
+    pays 4× table replication to make the strict value-hash gate meaningful
+    (the default setting misses one borderline sf0.001 pair by design)."""
     import ray.data as rd
     from manga_ocr_ray.stages.similarity import embedding_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = embedding_near_dup_pairs(ds, threshold=0.45)
+    out = embedding_near_dup_pairs(ds, threshold=0.45,
+                                   target_recall=0.9999, max_tables=64)
     return out[["id_a", "id_b"]]
 
 

@@ -193,31 +193,41 @@ def embedding_near_dup_pairs(
     n_planes: int | None = None,
     n_tables: int | None = None,
     seed: int = 42,
+    target_recall: float = 0.95,
+    max_tables: int = 16,
 ) -> pd.DataFrame:
     """Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold) — DEFAULT
     path is hyperplane LSH (:func:`lsh_near_dup_pairs`): bucket-local exact
     verification means precision is exact; recall is governed by
     n_planes/n_tables, auto-tuned from the threshold when not given
-    (pytest-pinned ≥0.9 on clustered fixtures).  The O(corpus²) broadcast
+    (pytest-pinned ≥0.9 on clustered fixtures).  Raise ``target_recall``
+    (with ``max_tables`` headroom — tables multiply shuffle replication)
+    when the caller needs near-exhaustive recall.  The O(corpus²) broadcast
     variant survives only as the oracle gate
     (:func:`embedding_near_dup_pairs_exact`)."""
     if n_planes is None or n_tables is None:
-        n_planes, n_tables = lsh_params(threshold)
+        n_planes, n_tables = lsh_params(threshold, target_recall=target_recall,
+                                        max_tables=max_tables)
     return lsh_near_dup_pairs(
         ds, threshold=threshold, n_planes=n_planes, n_tables=n_tables,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
 
 
-def lsh_params(threshold: float, target_recall: float = 0.95) -> tuple[int, int]:
+def lsh_params(threshold: float, target_recall: float = 0.95,
+               max_tables: int = 16) -> tuple[int, int]:
     """(n_planes, n_tables) for hyperplane LSH hitting ``target_recall`` at
     ``threshold``: per-plane collision prob p = 1 - arccos(threshold)/π;
-    per-table p^b; recall = 1-(1-p^b)^T.  Among T ∈ {4, 8, 16} pick the
+    per-table p^b; recall = 1-(1-p^b)^T.  Among T ∈ {4..max_tables} pick the
     largest feasible b (strongest bucket pruning; more tables = more
-    replication through the shuffle — the standard recall/IO tradeoff)."""
+    replication through the shuffle — the standard recall/IO tradeoff).
+    ``max_tables`` defaults to 16 — the production IO cap; callers chasing
+    near-exhaustive recall (oracle gates, decontamination) may raise it."""
     p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
     best = (1, 4)
-    for T in (4, 8, 16):
+    for T in (4, 8, 16, 32, 64, 128):
+        if T > max_tables:
+            break
         q = 1.0 - (1.0 - target_recall) ** (1.0 / T)  # per-table prob needed
         b = max(1, int(np.floor(np.log(q) / np.log(p))))
         if b > best[0]:
