@@ -46,6 +46,7 @@ SEMDEDUP_TAU = 0.45
 def embedding_semdedup(
     ds: rd.Dataset, *, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> pd.DataFrame:
     """→ (vec_id, cluster, keep): assign every vector to the nearest of the
     K seed centroids (the K smallest ids — deterministic, oracle-replayable;
@@ -101,8 +102,11 @@ def embedding_semdedup(
     # range partitions ship schema-less bundles (executor warnings, wasted
     # tasks).  Right-size the block count to ceil(rows/10k) clamped to K:
     # at paper scale (K ≈ n/10^4) the clamp is inactive and the shuffle
-    # keeps full width; at bench scale it collapses the empties.
-    blocks = max(1, min(k, ds.count() // 10_000 + 1))
+    # keeps full width; at bench scale it collapses the empties.  ds.count()
+    # is metadata-only for parquet-backed inputs (every in-repo caller);
+    # map-chain callers should pass n_rows to avoid an extra upstream pass.
+    total = n_rows if n_rows is not None else ds.count()
+    blocks = max(1, min(k, total // 10_000 + 1))
     out = (
         ds.map_batches(assign, batch_format="pyarrow")
         .repartition(blocks)

@@ -133,10 +133,14 @@ class Codec:
         return x, 8000
 
     def sample_frames(self, payload: bytes, duration_ms: int, every_ms: int) -> list[bytes]:
-        ff = _ffmpeg_path()
-        if ff is not None:
-            return sample_frames_ffmpeg(ff, payload, every_ms)
+        # fake=True takes PRECEDENCE over an installed ffmpeg: fake mode
+        # feeds arbitrary bytes (no real container), and piping those to
+        # ffmpeg would make tests and the media_frames query fail on any
+        # host that happens to have ffmpeg while passing in this container.
         if not self.fake:
+            ff = _ffmpeg_path()
+            if ff is not None:
+                return sample_frames_ffmpeg(ff, payload, every_ms)
             raise NotImplementedError(
                 "real frame sampling needs ffmpeg (none on PATH; "
                 "set GRAFT_FFMPEG to the binary)")

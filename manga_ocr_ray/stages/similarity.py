@@ -223,6 +223,8 @@ def lsh_params(threshold: float, target_recall: float = 0.95,
     replication through the shuffle — the standard recall/IO tradeoff).
     ``max_tables`` defaults to 16 — the production IO cap; callers chasing
     near-exhaustive recall (oracle gates, decontamination) may raise it."""
+    if max_tables < 4:
+        raise ValueError(f"max_tables must be >= 4, got {max_tables}")
     p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
     best = (1, 4)
     for T in (4, 8, 16, 32, 64, 128):

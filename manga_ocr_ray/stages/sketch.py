@@ -162,6 +162,7 @@ def grouped_approx_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.75),
     bins: int = 2048,
     num_shards: int | None = None,
+    key_type: "pa.DataType | None" = None,
 ) -> rd.Dataset:
     """Per-GROUP approximate quantiles — the scale-safe twin of exact
     per-group ``np.quantile`` (which materializes a whole group in one task:
@@ -211,8 +212,12 @@ def grouped_approx_quantiles(
 
     def merge(g: pa.Table) -> pa.Table:
         qcols = [f"q_{int(q * 100)}" for q in qs]
+        # A schema-less EMPTY range partition carries no key type; fall back
+        # to the caller-declared key_type (string only as a last resort —
+        # int-keyed callers must pass key_type or the empty block would
+        # schema-mismatch the populated ones).
         ktype = g.schema.field(key_col).type if key_col in g.column_names \
-            else pa.string()
+            else (key_type or pa.string())
         if g.num_rows == 0:
             return pa.table({key_col: pa.array([], ktype),
                              **{c: pa.array([], pa.float64()) for c in qcols}})
@@ -311,6 +316,7 @@ def grouped_approx_distinct(
     value_col: str,
     p: int = 12,
     num_shards: int | None = None,
+    key_type: "pa.DataType | None" = None,
 ) -> rd.Dataset:
     """Per-GROUP approximate distinct count — the scale-safe twin of exact
     ``count(DISTINCT v) GROUP BY k`` (which shuffles every (k, v) pair; the
@@ -351,8 +357,9 @@ def grouped_approx_distinct(
                          "shard": pa.array(shard.astype(np.int64))})
 
     def merge(g: pa.Table) -> pa.Table:
+        # Same empty-partition key-type rule as grouped_approx_quantiles.
         ktype = g.schema.field(key_col).type if key_col in g.column_names \
-            else pa.string()
+            else (key_type or pa.string())
         if g.num_rows == 0:
             return pa.table({key_col: pa.array([], ktype),
                              "approx_distinct": pa.array([], pa.int64())})

@@ -35,6 +35,7 @@ if [ -z "${GRAFT_REPRO_FAST:-}" ]; then
   tail -1 "$OUT/scaling.json"
 else
   echo "== 4/4 scaling SKIPPED (GRAFT_REPRO_FAST) =="
+  rm -f "$OUT/scaling.json"   # never fold a STALE prior run into summary.json
 fi
 
 python - "$OUT" "$rc" <<'EOF'

@@ -29,6 +29,18 @@ def test_fake_codec_deterministic():
     assert len(frames) == 4
 
 
+def test_fake_codec_ignores_installed_ffmpeg(tmp_path, monkeypatch):
+    """fake=True must take precedence over an installed ffmpeg: fake-mode
+    payloads are arbitrary bytes (no real container), so piping them to a
+    real ffmpeg would make the suite environment-dependent."""
+    fake_ff = tmp_path / "ffmpeg"
+    fake_ff.write_text("#!/bin/sh\necho boom >&2\nexit 3\n")
+    fake_ff.chmod(0o755)
+    monkeypatch.setenv("GRAFT_FFMPEG", str(fake_ff))
+    frames = Codec(fake=True).sample_frames(b"0123456789", 1000, 250)
+    assert len(frames) == 4  # deterministic slices, ffmpeg never invoked
+
+
 def test_media_actor_features_and_quarantine():
     t = make_fake_media_table(16)
     out = MediaFeatureActor(fake_codec=True)(t)
