@@ -198,3 +198,28 @@ def test_grouped_approx_distinct_accuracy(ray_session):
         rd.from_pandas(df).repartition(3), "k", "v") \
         .to_pandas().set_index("k")["approx_distinct"]
     assert got.sort_index().tolist() == got2.sort_index().tolist()
+
+
+def test_grouped_sketches_int64_key(ray_session):
+    """Int-keyed grouped sketches stay int64-typed end-to-end — incl. the
+    schema-less empty-partition fallback, which must use the caller-declared
+    key_type instead of assuming string (review fix r5)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from manga_ocr_ray.stages.sketch import (grouped_approx_distinct,
+                                             grouped_approx_quantiles)
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 3, size=3000).astype(np.int64),
+                       "v": rng.normal(size=3000)})
+    ds = rd.from_pandas(df).repartition(6)
+    got_q = grouped_approx_quantiles(ds, "k", "v", (0.5,), bins=512,
+                                     key_type=pa.int64()).to_pandas()
+    assert got_q["k"].dtype == np.int64 and len(got_q) == 3
+    med = df.groupby("k")["v"].median()
+    for _, row in got_q.iterrows():
+        assert abs(row["q_50"] - med[row["k"]]) < 0.05
+    got_d = grouped_approx_distinct(ds, "k", "v", key_type=pa.int64()) \
+        .to_pandas()
+    assert got_d["k"].dtype == np.int64 and len(got_d) == 3
