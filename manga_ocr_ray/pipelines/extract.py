@@ -196,8 +196,16 @@ def run_extraction(
     (``s3://bucket/extracted``) — manifests, crash-window repair and the
     resume-stats scan all route through ``pyarrow.fs`` (ADVICE r4), so a
     re-submitted ``ray job submit`` run resumes against S3 outputs too.
-    ``filesystem`` overrides URI resolution (tests inject a mock fs)."""
-    done = mf.done_buckets(out_dir, fingerprint, filesystem=filesystem)
+    ``filesystem`` overrides URI resolution (tests inject a mock fs).
+
+    ``num_buckets`` is folded into the manifest-validity fingerprint: the
+    bucket assignment is ``hash mod num_buckets``, so resuming with a
+    DIFFERENT bucket count would re-extract rows into new partitions while
+    their originals sit in the old ones (silent duplication).  Changing it
+    therefore invalidates every manifest and triggers a full clean rebuild
+    via the crash-window repair below."""
+    eff_fp = f"{fingerprint}|nb={num_buckets}"
+    done = mf.done_buckets(out_dir, eff_fp, filesystem=filesystem)
     # crash-window repair: a bucket with data files but NO committed manifest
     # (killed between write and commit) must be REWRITTEN, not appended to —
     # clear any existing data for buckets we are about to reprocess.
@@ -233,7 +241,9 @@ def run_extraction(
     new_recs: list[dict] = []
     if new_files:
         def tag_bucket(t: pa.Table) -> pa.Table:
-            b = [int(p.split("bucket=", 1)[1].split("/", 1)[0])
+            # rsplit: anchor to the LAST 'bucket=' segment — the out_dir
+            # itself may contain one (e.g. s3://corp/bucket=west/extracted)
+            b = [int(p.rsplit("bucket=", 1)[1].split("/", 1)[0])
                  for p in t["path"].to_pylist()]
             return (t.drop_columns(["path"])
                     .append_column("bucket", pa.array(b, pa.int64())))
@@ -256,7 +266,7 @@ def run_extraction(
         raw = int(rec["raw_chars"])
         ext = int(rec["extracted_chars"])
         mf.write_manifest(
-            out_dir, int(rec["bucket"]), fingerprint, int(rec["rows"]),
+            out_dir, int(rec["bucket"]), eff_fp, int(rec["rows"]),
             metrics={
                 "strip_ratio": round(1.0 - ext / raw, 6) if raw else 0.0,
                 "chars_removed": raw - ext,
@@ -283,9 +293,19 @@ def verify_against_expected(extracted: rd.Dataset, expected: rd.Dataset) -> int:
     10^12 times at target scale); a turn passes iff both sides are present
     and texts are equal, and a row-count cross-check catches duplicate keys
     that pairwise-match each other.
+
+    Both projections are materialized before the join: the dup-key checks
+    below need TRUE per-side input counts (joined-row tallies inflate under
+    cross products), and counting a lazy chain would re-execute the whole
+    upstream extraction a second time.  Post-materialize counts are
+    metadata-only, and the barrier also separates the CPU-heavy extraction
+    phase from the join shuffle (the measured 4× fused-vs-staged effect —
+    see conversation_merge below).
     """
-    ex = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"])
-    gold = expected.select_columns(["conv_id", "turn_idx", "expected_text"])
+    ex = extracted.select_columns(
+        ["conv_id", "turn_idx", "extracted_text"]).materialize()
+    gold = expected.select_columns(
+        ["conv_id", "turn_idx", "expected_text"]).materialize()
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4

@@ -311,6 +311,8 @@ def minhash_lsh_pairs_ds(
     text_col: str = "text",
     concurrency: int | tuple[int, int] = (1, 4),
     num_partitions: int | None = None,
+    n_rows: int | None = None,
+    materialize_input: bool = False,
 ) -> rd.Dataset:
     """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold),
     fully distributed — nothing corpus-sized ever touches the driver.
@@ -318,12 +320,22 @@ def minhash_lsh_pairs_ds(
     shingle→minhash→band (actor pool) → per-band groupby buckets → candidate
     pairs (deduped by a small groupby) → texts joined back on doc_id (two
     hash-partitioned joins) → batched exact-Jaccard verify filter.
-    """
+
+    The projected (id, text) input is consumed twice (signatures + the
+    verify join) plus once for shard-count sizing.  For parquet-backed
+    inputs the count is metadata-only and a re-scan is cheap (default);
+    when ``ds`` is an expensive lazy chain, pass ``materialize_input=True``
+    to pin the projection in the object store instead of re-executing the
+    upstream, and/or ``n_rows`` to skip the sizing count."""
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         num_partitions = max(8, cpus // 2)
 
-    banded = ds.map_batches(
+    base = ds.select_columns([id_col, text_col])
+    if materialize_input:
+        base = base.materialize()
+
+    banded = base.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
                                    ngram=ngram, id_col=id_col, text_col=text_col),
@@ -337,8 +349,12 @@ def minhash_lsh_pairs_ds(
     # raw bucket: shuffling 10^7+ one-row groups through map_groups pays a
     # per-group python overhead that dominates; with shards, each group task
     # receives many buckets and resolves them with one vectorized pass.
-    # Size n_shards ≈ corpus_rows×bands / 50k so shard groups stay bounded.
-    n_shards = max(64, min(8192, int(np.sqrt(max(1, ds.count())))))
+    # Balanced sizing: n_shards = sqrt(exploded rows) makes group COUNT and
+    # group SIZE both grow as sqrt(corpus) — per-group task overhead and
+    # per-group memory never grow linearly.  Deliberately UNCAPPED: a fixed
+    # cap (the old 8192) would hand a 10^12-row corpus multi-GB groups.
+    n = n_rows if n_rows is not None else base.count()
+    n_shards = max(64, int(np.sqrt(max(1, n * bands))))
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -371,7 +387,7 @@ def minhash_lsh_pairs_ds(
     # empty partitions, map_batches skips empty blocks so they can't be
     # repaired, and a second join then fails key-field resolution — groupby
     # tolerates them, so join→groupby is the robust composition.)
-    texts = ds.select_columns([id_col, text_col])
+    texts = base
     pair_shards = max(16, num_partitions * 4)
 
     def explode_pairs(t: pa.Table) -> pa.Table:
@@ -440,12 +456,13 @@ def minhash_lsh_pairs(
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def cluster_reps(pairs: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
-    """Union-find over verified pairs → (doc_id, cluster_rep = min id).
-
-    Driver-side: the verified pair set is tiny relative to the corpus.  At
-    extreme scale this becomes a few rounds of min-label propagation via
-    groupby (documented alternative)."""
+def pair_rep_map(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find (path-halving, min-id wins) over a verified pair frame →
+    fully-resolved ``{id: min-rep}`` for every pair-TOUCHED id; untouched ids
+    are implicitly their own rep.  Driver-side by design: the pair set is
+    tiny relative to the corpus.  Shared by :func:`cluster_reps` and
+    :func:`near_dup_cluster_assign` so the two clustering paths cannot
+    diverge."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -459,8 +476,19 @@ def cluster_reps(pairs: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
+    return {i: find(i) for i in parent}
+
+
+def cluster_reps(pairs: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
+    """Union-find over verified pairs → (doc_id, cluster_rep = min id).
+
+    Driver-side: the verified pair set is tiny relative to the corpus.  At
+    extreme scale this becomes a few rounds of min-label propagation via
+    groupby (documented alternative)."""
+    reps = pair_rep_map(pairs)
     return pd.DataFrame(
-        {"doc_id": all_ids, "cluster_rep": [find(int(i)) for i in all_ids]}
+        {"doc_id": all_ids,
+         "cluster_rep": [reps.get(int(i), int(i)) for i in all_ids]}
     )
 
 
@@ -549,14 +577,20 @@ def simhash_map_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def simhash_near_dup_pairs(ds: rd.Dataset, *, max_hamming: int = 3,
-                           id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n_rows: int | None = None) -> pd.DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole bucketing (hamming ≤3 ⇒ ≥1 of the 4 16-bit blocks equal):
     one exploded (shard, block, key, id, simhash) table, ONE groupby on the
-    shard, vectorized candidate generation per shard, hamming verify."""
+    shard, vectorized candidate generation per shard, hamming verify.
+    Pass ``n_rows`` to skip the shard-sizing count when ``ds`` is an
+    expensive lazy chain (parquet-backed counts are metadata-only)."""
     sh = ds.map_batches(lambda t: simhash_map_batch(t, text_col), batch_format="pyarrow")
-    n_shards = max(64, min(8192, int(np.sqrt(max(1, ds.count())))))
+    # sqrt-of-exploded-rows, uncapped — same balanced-shard rule (and same
+    # removed-8192-cap rationale) as minhash_lsh_pairs_ds above.
+    n = n_rows if n_rows is not None else ds.count()
+    n_shards = max(64, int(np.sqrt(max(1, n * 4))))
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -575,7 +609,11 @@ def simhash_near_dup_pairs(ds: rd.Dataset, *, max_hamming: int = 3,
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         cand = bucket_pairs_vectorized(g, ["blk", "key"], id_col, max_bucket=500)
         if cand.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            # typed empty — an untyped {} literal makes float64 id blocks
+            # that silently promote int64 ids through the concat
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
         lut = dict(zip(g[id_col], g["simhash"].astype(np.int64)))
         ha = np.array([lut[i] for i in cand["id_a"]], dtype=np.int64).astype(np.uint64)
         hb = np.array([lut[i] for i in cand["id_b"]], dtype=np.int64).astype(np.uint64)
@@ -683,21 +721,7 @@ def near_dup_cluster_assign(
     """
     import ray
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    rep_map = {i: find(i) for i in parent}
-    map_ref = ray.put(rep_map)
+    map_ref = ray.put(pair_rep_map(pairs))
 
     def assign(t: pa.Table) -> pa.Table:
         reps = ray.get(map_ref)

@@ -103,6 +103,7 @@ def test_extraction_pipeline_ray(ray_session, tmp_path):
     ref = exp_df.groupby("conv_id")["expected_text"].apply("\n".join)
     got = merged.set_index("conv_id")["merged_text"]
     assert got.sort_index().equals(ref.sort_index())
+
     mega = merged.set_index("conv_id")["n_turns"]["conv_00000000"]
     assert mega == 60  # mega-conv crossed chunk boundaries and survived
 
@@ -119,6 +120,16 @@ def test_extraction_pipeline_ray(ray_session, tmp_path):
     assert res3["new_rows"] == victim_rows
     assert rd.read_parquet(mf.data_dir(out_dir)).count() == t.num_rows  # no dupes
     assert verify_against_expected(rd.read_parquet(mf.data_dir(out_dir)), gold) == 0
+
+    # num_buckets change invalidates manifests TOO (review fix r5): bucket
+    # assignment is hash mod num_buckets, so resuming at a different count
+    # must trigger a full clean rebuild — never duplicate rows across the
+    # old and new partition layouts.
+    res4 = run_extraction(read_transcripts(str(src)), out_dir,
+                          fingerprint="fp1", num_buckets=16)
+    assert res4["new_rows"] == t.num_rows
+    assert res4["skipped_buckets"] == 0
+    assert rd.read_parquet(mf.data_dir(out_dir)).count() == t.num_rows
 
 
 def test_verify_detects_mismatch(ray_session):
