@@ -1139,6 +1139,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_charset_coverage": D.q_doc_charset_coverage,
         "doc_minhash_keep": D.q_doc_minhash_keep,
         "doc_top_tokens": D.q_doc_top_tokens,
+        # round-5 session-2 wave: distributed higher moments, shuffle-free
+        # histogram partials, Zipf corpus-health fit (below the window —
+        # the r5 rotation above is pinned)
+        "lineitem_skew_kurt": A.q_lineitem_skew_kurt,
+        "orders_price_histogram": A.q_orders_price_histogram,
+        "doc_zipf_slope": D.q_doc_zipf_slope,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1185,6 +1191,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_pagerank": D.q_doc_token_pagerank_sql(),
         "orders_ntile": A.Q_ORDERS_NTILE_SQL,
         "lineitem_corr": A.Q_LINEITEM_CORR_SQL,
+        "lineitem_skew_kurt": A.Q_LINEITEM_SKEW_KURT_SQL,
+        "orders_price_histogram": A.Q_ORDERS_PRICE_HISTOGRAM_SQL,
+        "doc_zipf_slope": D.Q_DOC_ZIPF_SLOPE_SQL,
         "events_value_trend": A.Q_EVENTS_VALUE_TREND_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,

@@ -1496,3 +1496,121 @@ WITH keyed AS (
   FROM documents)
 SELECT doc_id FROM keyed ORDER BY skey, doc_id LIMIT 100
 """
+
+
+# ---- distributed higher central moments: skewness / kurtosis -----------------
+
+def q_lineitem_skew_kurt(sf_dir: str) -> rd.Dataset:
+    """Sample skewness and excess kurtosis of ``l_extendedprice`` per
+    returnflag (the bias-corrected G1/G2 definitions DuckDB/Excel use), as a
+    TWO-PASS centered-moment aggregate: pass 1 computes exact per-group means
+    from int64-cents sums (order-independent across blocks); pass 2 broadcasts
+    the means and accumulates centered powers Σdx²/Σdx³/Σdx⁴ in float64.
+    Centering before raising to powers kills the catastrophic cancellation a
+    raw-moment plan (E[x³] − 3E[x]E[x²] + …) suffers at 1e5-magnitude values,
+    so the result agrees with DuckDB's streaming implementation to ~1e-12.
+    Scale shape: two streaming corpus passes; the only shuffles move
+    group-count-sized moment partials (same plan as q_lineitem_corr above).
+    Reference anchor: eval-metric rollups, manga_ocr training/metrics.py:54-81."""
+    cols = ["l_returnflag", "l_extendedprice"]
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "price_c": _cents(t["l_extendedprice"])})
+
+    sums = (ds.map_batches(cents_partial, batch_format="pyarrow")
+              .groupby("l_returnflag")
+              .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="sp"))
+              .to_pandas())
+    stats = {row.l_returnflag: (row.sp / row.n / 100.0, row.n)
+             for row in sums.itertuples()}
+    means_ref = ray.put({k: v[0] for k, v in stats.items()})
+
+    class CenteredPowerPartials:
+        def __init__(self, ref):
+            self.mean = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            dx = (b["l_extendedprice"].to_numpy()
+                  - b["l_returnflag"].map(self.mean).to_numpy())
+            d2 = dx * dx
+            df = pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                               "m2": d2, "m3": d2 * dx, "m4": d2 * d2})
+            return df.groupby("l_returnflag", as_index=False).sum()
+
+    agg = (ds.map_batches(CenteredPowerPartials, fn_constructor_args=(means_ref,),
+                          batch_format="pandas", concurrency=(1, 8))
+             .groupby("l_returnflag")
+             .aggregate(Sum("m2", alias_name="m2"), Sum("m3", alias_name="m3"),
+                        Sum("m4", alias_name="m4")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].combine_chunks().to_pylist()
+        n = np.array([stats[f][1] for f in flags], dtype=np.float64)
+        m2 = t["m2"].combine_chunks().to_numpy()
+        m3 = t["m3"].combine_chunks().to_numpy()
+        m4 = t["m4"].combine_chunks().to_numpy()
+        s = np.sqrt(m2 / (n - 1.0))  # sample stddev
+        skew = n / ((n - 1.0) * (n - 2.0)) * m3 / s**3
+        kurt = (n * (n + 1.0) / ((n - 1.0) * (n - 2.0) * (n - 3.0)) * m4 / s**4
+                - 3.0 * (n - 1.0) ** 2 / ((n - 2.0) * (n - 3.0)))
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "n": pa.array(n.astype(np.int64)),
+                         "skew_price": pa.array(skew),
+                         "kurt_price": pa.array(kurt)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_LINEITEM_SKEW_KURT_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       skewness(l_extendedprice) AS skew_price,
+       kurtosis(l_extendedprice) AS kurt_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---- fixed-width histogram via block-local bincount partials -----------------
+
+def q_orders_price_histogram(sf_dir: str, width_dollars: int = 20000) -> rd.Dataset:
+    """Fixed-width global histogram of ``o_totalprice`` built WITHOUT a
+    corpus-sized shuffle: every block reduces to (bin, count) partials via one
+    int64-cents floor-div + ``np.bincount``, and only the ~30 distinct bins
+    per block move through the final combining groupby — shuffle traffic is
+    O(blocks × bins), not O(rows).  The profile-scan shape a 100-TB column
+    audit wants.  Bin edges are exact: prices are 2-decimal, so cents //
+    (width·100) cannot land on the wrong side of a float boundary, and bin
+    lows at these magnitudes are float-exact, matching the SQL
+    ``floor(price/width)`` oracle bin-for-bin."""
+    width_c = int(width_dollars) * 100
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = _cents(t["o_totalprice"]).to_numpy() // width_c
+        counts = np.bincount(b)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bin").aggregate(Sum("n", alias_name="n_orders")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = pc.cast(t["bin"], pa.int64())
+        return pa.table({
+            "bin": b,
+            "bin_lo": pc.cast(pc.multiply(b, pa.scalar(int(width_dollars), pa.int64())),
+                              pa.float64()),
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+        })
+
+    return hist.map_batches(finish, batch_format="pyarrow")
+
+
+Q_ORDERS_PRICE_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin,
+       CAST(floor(o_totalprice / 20000) AS BIGINT) * 20000.0 AS bin_lo,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""

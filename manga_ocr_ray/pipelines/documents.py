@@ -2137,3 +2137,39 @@ SELECT doc_id, source FROM (
            ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_CAP_SALT}'), doc_id) AS rn
   FROM documents) WHERE rn <= {SOURCE_CAP_K}
 """
+
+
+# ---- Zipf-law exponent of the token distribution ------------------------------
+
+def q_doc_zipf_slope(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Zipf exponent of the corpus vocabulary: the OLS slope of ln(freq) on
+    ln(rank) over the top-N tokens — the standard one-number corpus-health
+    audit (natural text reads ≈ −1; templated/spam corpora flatten).  The
+    corpus-sized work is ONE per-token combining groupby (the q_doc_tokens
+    explode, same as the frequency spectrum above); the rank sort touches only
+    vocabulary-sized counts, and the driver finishes on ≤N rows — bounded by
+    construction.  Tie order (freq desc, token asc) is total because tokens
+    are distinct, so the top-N cut is deterministic and matches the SQL
+    ``row_number() OVER (ORDER BY freq DESC, token)`` oracle exactly; the
+    closed-form centered OLS mirrors DuckDB's regr_slope (covar_pop/var_pop)
+    to ~1e-12."""
+    toks = q_doc_tokens(sf_dir).select_columns(["token"])
+    tf = toks.groupby("token").aggregate(Count(alias_name="freq"))
+    top = (tf.sort(["freq", "token"], descending=[True, False])
+             .limit(top_n).to_pandas())
+    y = np.log(top["freq"].to_numpy(dtype=np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    xc = x - x.mean()
+    slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+    return pd.DataFrame({"n_terms": [len(top)], "zipf_slope": [slope]})
+
+
+Q_DOC_ZIPF_SLOPE_SQL = f"""
+WITH tf AS (SELECT token, count(*) AS freq
+            FROM (SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+                  FROM documents)
+            GROUP BY token),
+top AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rn
+        FROM tf ORDER BY freq DESC, token LIMIT 100)
+SELECT count(*) AS n_terms, regr_slope(ln(freq), ln(rn)) AS zipf_slope FROM top
+"""

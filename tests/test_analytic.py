@@ -355,3 +355,53 @@ def test_line_dedup_drops_cross_doc_and_within_doc_dups(ray_session):
     counts = lines.groupby("line").size()
     survivors = lines[lines["line"].map(counts) == 1]
     assert survivors["doc_id"].tolist() == [1] and survivors["line"].tolist() == [u]
+
+
+def test_skew_kurt_matches_direct_formula(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_lineitem_skew_kurt
+
+    got = q_lineitem_skew_kurt(SF_DIR).to_pandas().set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    for flag, g in li.groupby("l_returnflag"):
+        x = g["l_extendedprice"].to_numpy(dtype=np.float64)
+        n, mu = len(x), x.mean()
+        s = x.std(ddof=1)
+        z = (x - mu) / s
+        skew = n / ((n - 1) * (n - 2)) * (z**3).sum()
+        kurt = (n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * (z**4).sum()
+                - 3 * (n - 1) ** 2 / ((n - 2) * (n - 3)))
+        assert got.loc[flag, "n"] == n
+        assert got.loc[flag, "skew_price"] == pytest.approx(skew, abs=1e-9)
+        assert got.loc[flag, "kurt_price"] == pytest.approx(kurt, abs=1e-9)
+
+
+def test_price_histogram_partials_sum_exactly(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_orders_price_histogram
+
+    got = q_orders_price_histogram(SF_DIR).to_pandas().sort_values("bin")
+    prices = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_totalprice"])["o_totalprice"]
+    want = (np.round(prices * 100).astype(np.int64) // 2000000).value_counts().sort_index()
+    np.testing.assert_array_equal(got["bin"].to_numpy(), want.index.to_numpy())
+    np.testing.assert_array_equal(got["n_orders"].to_numpy(), want.to_numpy())
+    assert got["n_orders"].sum() == len(prices)
+    np.testing.assert_allclose(got["bin_lo"].to_numpy(),
+                               got["bin"].to_numpy() * 20000.0)
+
+
+def test_zipf_slope_matches_polyfit(ray_session):
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+    from manga_ocr_ray.pipelines.documents import q_doc_zipf_slope
+
+    got = q_doc_zipf_slope(SF_DIR)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    tf = (docs["text"].str.findall(TOKEN_PATTERN).explode().dropna()
+          .value_counts().rename_axis("token").reset_index(name="freq"))
+    # deterministic (freq desc, token asc) cut, exactly like the query/oracle
+    tf = tf.sort_values(["freq", "token"], ascending=[False, True])
+    freqs = tf["freq"].to_numpy(dtype=np.float64)[:100]
+    slope = np.polyfit(np.log(np.arange(1, len(freqs) + 1)), np.log(freqs), 1)[0]
+    assert got["n_terms"].iloc[0] == len(freqs)
+    assert got["zipf_slope"].iloc[0] == pytest.approx(slope, abs=1e-9)
+    assert got["zipf_slope"].iloc[0] < 0  # frequencies decay with rank
