@@ -613,6 +613,74 @@ FROM w WHERE tool IS NOT NULL AND tool <> '' AND latency_sec IS NOT NULL
 """
 
 
+def _q_transcript_role_transitions(sf_dir: str):
+    """Markov transition counts between consecutive turn roles within each
+    conversation — the conversation-shape audit (user→assistant→tool→…)
+    agent-transcript analytics lean on.  Same sharded vectorized window as
+    tool-latency above (hash(conv_id) shards, conversations never split, one
+    Arrow sort + shifted-equality pass per shard), but each shard REDUCES to
+    its |roles|² contingency partial before the shuffle: the combining
+    groupby moves O(shards × roles²) rows, never the corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from manga_ocr_ray.functions.hashing import hash64_array
+
+    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "role"])
+    num_shards = 64
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = (hash64_array(t["conv_id"]) % np.uint64(num_shards)).astype(np.int32)
+        return t.append_column("shard", pa.array(sh))
+
+    def transitions_in_shard(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = g["conv_id"].combine_chunks()
+        n = len(conv)
+        role = pc.dictionary_encode(g["role"].combine_chunks())
+        codes = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = role.dictionary.to_pylist()
+        same_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_next[:-1] = pc.equal(conv.slice(1),
+                                      conv.slice(0, n - 1)).to_numpy(
+                                          zero_copy_only=False)
+        i = np.flatnonzero(same_next)
+        r = len(vocab)
+        pair_counts = np.bincount(codes[i] * r + codes[i + 1],
+                                  minlength=r * r)
+        nz = np.flatnonzero(pair_counts)
+        return pa.table({
+            "from_role": pa.array([vocab[p // r] for p in nz]),
+            "to_role": pa.array([vocab[p % r] for p in nz]),
+            "n": pa.array(pair_counts[nz].astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(add_shard, batch_format="pyarrow")
+             .groupby("shard").map_groups(transitions_in_shard,
+                                          batch_format="pyarrow")
+             .groupby(["from_role", "to_role"])
+             .aggregate(Sum("n", alias_name="n_pairs")))
+
+    def as_i64(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("n_pairs"), "n_pairs",
+                            pc.cast(t["n_pairs"], pa.int64()))
+
+    return agg.map_batches(as_i64, batch_format="pyarrow")
+
+
+_Q_TRANSCRIPT_ROLE_TRANSITIONS_SQL = f"""
+WITH w AS (
+  SELECT role AS from_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_role
+  FROM '{_ORACLE_CORPUS}/transcripts.parquet')
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n_pairs
+FROM w WHERE to_role IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -1145,6 +1213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skew_kurt": A.q_lineitem_skew_kurt,
         "orders_price_histogram": A.q_orders_price_histogram,
         "doc_zipf_slope": D.q_doc_zipf_slope,
+        "orders_percentiles_2pass": A.q_orders_percentiles_2pass,
+        "events_type_hour_mi": A.q_events_type_hour_mi,
+        "transcript_role_transitions": _q_transcript_role_transitions,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1194,6 +1265,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_skew_kurt": A.Q_LINEITEM_SKEW_KURT_SQL,
         "orders_price_histogram": A.Q_ORDERS_PRICE_HISTOGRAM_SQL,
         "doc_zipf_slope": D.Q_DOC_ZIPF_SLOPE_SQL,
+        "orders_percentiles_2pass": A.Q_ORDERS_PERCENTILES_2PASS_SQL,
+        "events_type_hour_mi": A.Q_EVENTS_TYPE_HOUR_MI_SQL,
+        "transcript_role_transitions": _Q_TRANSCRIPT_ROLE_TRANSITIONS_SQL,
         "events_value_trend": A.Q_EVENTS_VALUE_TREND_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,

@@ -1614,3 +1614,121 @@ SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin,
        count(*) AS n_orders
 FROM orders GROUP BY 1
 """
+
+
+# ---- exact global percentiles by two-pass selection (no global sort) ----------
+
+def q_orders_percentiles_2pass(sf_dir: str) -> pd.DataFrame:
+    """Exact interpolated p25/p50/p75 of ``o_totalprice`` WITHOUT a global
+    sort — the classic distributed-selection plan: pass 1 reduces every block
+    to coarse-bin counts (int64-cents // 1000, i.e. $10 bins; bounded by the
+    value domain, not the row count), the driver locates which coarse bins
+    hold the target order statistics from the cumulative counts, and pass 2
+    counts exact cent values ONLY inside those few bins.  Driver state is
+    O(domain/1000 + hits×bin_width) cells and shuffle traffic is
+    O(blocks × occupied_bins) — at 10^12 rows a full sort moves ~8 TB of keys
+    while this plan moves megabytes.  (At extreme scale a bin can still hold
+    billions of rows; the same coarse→fine step then recurses — one more pass
+    per 1000× narrowing, noted here as the scale path.)  Interpolation
+    mirrors SQL ``quantile_cont``: value = x[floor(pos)] + frac·(x[ceil(pos)]
+    − x[floor(pos)]) with pos = (n−1)·q, on float-exact 2-decimal dollars."""
+    coarse_w = 1000  # cents per coarse bin
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def coarse_partial(t: pa.Table) -> pa.Table:
+        b = _cents(t["o_totalprice"]).to_numpy() // coarse_w
+        counts = np.bincount(b)
+        nz = np.flatnonzero(counts)
+        return pa.table({"cbin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    hist = (ds.map_batches(coarse_partial, batch_format="pyarrow")
+              .groupby("cbin").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("cbin").reset_index(drop=True))
+    n_total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()          # rows at or below each bin
+    start_rank = cum - hist["n"].to_numpy()      # first 0-indexed rank in bin
+
+    quantiles = (0.25, 0.5, 0.75)
+    ranks = sorted({int(np.floor((n_total - 1) * q)) for q in quantiles}
+                   | {int(np.ceil((n_total - 1) * q)) for q in quantiles})
+    bin_of = {r: int(hist["cbin"].iloc[np.searchsorted(cum, r, side="right")])
+              for r in ranks}
+    needed = sorted(set(bin_of.values()))
+
+    def fine_partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"]).to_numpy()
+        mask = np.isin(c // coarse_w, needed)
+        vals, counts = np.unique(c[mask], return_counts=True)
+        return pa.table({"cents": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    fine = (ds.map_batches(fine_partial, batch_format="pyarrow")
+              .groupby("cents").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("cents").reset_index(drop=True))
+    fvals = fine["cents"].to_numpy()
+    fcum_by_bin: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for b in needed:
+        m = (fvals // coarse_w) == b
+        fcum_by_bin[b] = (fvals[m], fine["n"].to_numpy()[m].cumsum())
+
+    def value_at(rank: int) -> float:
+        b = bin_of[rank]
+        within = rank - int(start_rank[hist["cbin"].searchsorted(b)])
+        vals, vcum = fcum_by_bin[b]
+        return float(vals[np.searchsorted(vcum, within, side="right")]) / 100.0
+
+    out = {"n": [n_total]}
+    for q, name in zip(quantiles, ("p25", "p50", "p75")):
+        pos = (n_total - 1) * q
+        lo, hi = value_at(int(np.floor(pos))), value_at(int(np.ceil(pos)))
+        out[name] = [lo + (pos - np.floor(pos)) * (hi - lo)]
+    return pd.DataFrame(out)
+
+
+Q_ORDERS_PERCENTILES_2PASS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders
+"""
+
+
+# ---- mutual information between two categorical columns ----------------------
+
+def q_events_type_hour_mi(sf_dir: str) -> pd.DataFrame:
+    """Mutual information (nats) between event type and hour-of-day — the
+    dependence audit feature stores run to catch leakage/seasonality between
+    a label and a time column.  The corpus reduces to ONE combining groupby
+    over (type, hour) — a contingency table bounded by |types|×24, never by
+    rows — and the driver finishes the Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) sum on
+    that tiny table with marginals derived from it (no extra passes)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "hr": pc.cast(pc.hour(t["ts"]), pa.int64())})
+
+    c = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby(["event_type", "hr"]).aggregate(Count(alias_name="n"))
+           .to_pandas())
+    n = c["n"].to_numpy(dtype=np.float64)
+    t = n.sum()
+    nx = c.groupby("event_type")["n"].transform("sum").to_numpy(dtype=np.float64)
+    ny = c.groupby("hr")["n"].transform("sum").to_numpy(dtype=np.float64)
+    mi = float((n / t * np.log(n * t / (nx * ny))).sum())
+    return pd.DataFrame({"n_events": [int(t)], "mi_nats": [mi]})
+
+
+Q_EVENTS_TYPE_HOUR_MI_SQL = """
+WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS t FROM c),
+mx AS (SELECT event_type, sum(n) AS nx FROM c GROUP BY 1),
+my AS (SELECT hr, sum(n) AS ny FROM c GROUP BY 1)
+SELECT CAST(sum(c.n) AS BIGINT) AS n_events,
+       sum(c.n / tot.t * ln(c.n * tot.t / (mx.nx * my.ny))) AS mi_nats
+FROM c JOIN mx USING (event_type) JOIN my USING (hr) CROSS JOIN tot
+"""

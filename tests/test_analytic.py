@@ -405,3 +405,54 @@ def test_zipf_slope_matches_polyfit(ray_session):
     assert got["n_terms"].iloc[0] == len(freqs)
     assert got["zipf_slope"].iloc[0] == pytest.approx(slope, abs=1e-9)
     assert got["zipf_slope"].iloc[0] < 0  # frequencies decay with rank
+
+
+def test_percentiles_2pass_match_numpy_interpolation(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_orders_percentiles_2pass
+
+    got = q_orders_percentiles_2pass(SF_DIR)
+    x = np.sort(pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                                columns=["o_totalprice"])["o_totalprice"]
+                .to_numpy(dtype=np.float64))
+    assert got["n"].iloc[0] == len(x)
+    for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        pos = (len(x) - 1) * q
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        want = x[lo] + (pos - lo) * (x[hi] - x[lo])
+        assert got[name].iloc[0] == pytest.approx(want, abs=1e-9)
+
+
+def test_mutual_info_direct_and_nonnegative(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_type_hour_mi
+
+    got = q_events_type_hour_mi(SF_DIR)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "ts"])
+    c = (ev.assign(hr=ev["ts"].dt.hour)
+           .groupby(["event_type", "hr"]).size().rename("n").reset_index())
+    n = c["n"].to_numpy(dtype=np.float64)
+    t = n.sum()
+    nx = c.groupby("event_type")["n"].transform("sum").to_numpy(dtype=np.float64)
+    ny = c.groupby("hr")["n"].transform("sum").to_numpy(dtype=np.float64)
+    want = (n / t * np.log(n * t / (nx * ny))).sum()
+    assert got["n_events"].iloc[0] == int(t)
+    assert got["mi_nats"].iloc[0] == pytest.approx(want, abs=1e-12)
+    assert got["mi_nats"].iloc[0] >= -1e-12  # MI is non-negative
+
+
+def test_role_transitions_match_pandas_lead(ray_session):
+    import __ray_entry__ as E
+
+    got = (E._q_transcript_role_transitions(SF_DIR).to_pandas()
+           .sort_values(["from_role", "to_role"]).reset_index(drop=True))
+    tr = pd.read_parquet(f"{E._oracle_corpus()}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "role"])
+    tr = tr.sort_values(["conv_id", "turn_idx"])
+    nxt = tr.groupby("conv_id")["role"].shift(-1)
+    want = (pd.DataFrame({"from_role": tr["role"], "to_role": nxt})
+            .dropna().groupby(["from_role", "to_role"]).size()
+            .rename("n_pairs").reset_index()
+            .sort_values(["from_role", "to_role"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every turn except each conversation's last contributes exactly one pair
+    n_convs = tr["conv_id"].nunique()
+    assert got["n_pairs"].sum() == len(tr) - n_convs
