@@ -1216,6 +1216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_percentiles_2pass": A.q_orders_percentiles_2pass,
         "events_type_hour_mi": A.q_events_type_hour_mi,
         "transcript_role_transitions": _q_transcript_role_transitions,
+        "doc_table_checksum": D.q_doc_table_checksum,
+        "events_grouping_sets": A.q_events_grouping_sets,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1268,6 +1270,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_percentiles_2pass": A.Q_ORDERS_PERCENTILES_2PASS_SQL,
         "events_type_hour_mi": A.Q_EVENTS_TYPE_HOUR_MI_SQL,
         "transcript_role_transitions": _Q_TRANSCRIPT_ROLE_TRANSITIONS_SQL,
+        "doc_table_checksum": D.Q_DOC_TABLE_CHECKSUM_SQL,
+        "events_grouping_sets": A.Q_EVENTS_GROUPING_SETS_SQL,
         "events_value_trend": A.Q_EVENTS_VALUE_TREND_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,

@@ -1732,3 +1732,39 @@ SELECT CAST(sum(c.n) AS BIGINT) AS n_events,
        sum(c.n / tot.t * ln(c.n * tot.t / (mx.nx * my.ny))) AS mi_nats
 FROM c JOIN mx USING (event_type) JOIN my USING (hr) CROSS JOIN tot
 """
+
+
+# ---- GROUPING SETS (the rollup/cube generalization) ---------------------------
+
+def q_events_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS ((event_type), (dow))`` — arbitrary set lists,
+    completing the rollup (prefix sets) / cube (all subsets) family above.
+    Same one-shuffle policy: the corpus reduces to the fine (type, dow)
+    contingency in ONE combining groupby, and each requested set is a
+    driver-side re-aggregation of that dimension-bounded table (re-shuffling
+    a types × 7 frame would be pure overhead at any scale)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "dow": pc.cast(pc.add(pc.day_of_week(t["ts"]),
+                                               pa.scalar(1)), pa.int64())})
+
+    fine = (ds.map_batches(keys, batch_format="pyarrow")
+              .groupby(["event_type", "dow"]).aggregate(Count(alias_name="n"))
+              .to_pandas())
+    fine["n"] = fine["n"].astype("int64")
+    per_type = fine.groupby("event_type", as_index=False)["n"].sum()
+    per_type["dow"] = np.nan
+    per_dow = fine.groupby("dow", as_index=False)["n"].sum()
+    per_dow["event_type"] = None
+    out = pd.concat([per_type[["event_type", "dow", "n"]],
+                     per_dow[["event_type", "dow", "n"]]], ignore_index=True)
+    out["dow"] = out["dow"].astype("float64")
+    return out
+
+
+Q_EVENTS_GROUPING_SETS_SQL = """
+SELECT event_type, CAST(isodow(ts) AS DOUBLE) AS dow, count(*) AS n
+FROM events GROUP BY GROUPING SETS ((event_type), (CAST(isodow(ts) AS DOUBLE)))
+"""

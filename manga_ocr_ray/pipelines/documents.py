@@ -2173,3 +2173,44 @@ top AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rn
         FROM tf ORDER BY freq DESC, token LIMIT 100)
 SELECT count(*) AS n_terms, regr_slope(ln(freq), ln(rn)) AS zipf_slope FROM top
 """
+
+
+# ---- order-independent distributed table checksum ------------------------------
+
+def q_doc_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent content fingerprint of the documents table: XOR of
+    the md5-low-64 of every ``doc_id|text`` row.  XOR is commutative and
+    associative, so ANY block layout / task order / cluster size produces the
+    same 64 bits — the cheap answer to "did the resumed / repartitioned /
+    re-run output change?" that a 100-TB pipeline wants after every stage
+    (compare two checksums instead of joining two corpora).  Each block
+    reduces to ONE partial (xor, count); the driver folds block partials —
+    no shuffle at all.  Hash kernel is the batched DuckDB-md5 gate
+    (functions/hashing.py md5_gate64), so the SQL oracle mirrors it
+    bit-for-bit."""
+    from ..functions.hashing import md5_gate64
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()), t["text"], "|")
+        h = md5_gate64(key)
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"xor_part": pa.array([np.uint64(x).view(np.int64)]),
+                         "n": pa.array([len(h)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    v = np.bitwise_xor.reduce(parts["xor_part"].to_numpy().view(np.uint64)) \
+        if len(parts) else np.uint64(0)
+    return pd.DataFrame({"checksum_hex": [f"{int(v):016x}"],
+                         "n_rows": [int(parts["n"].sum())]})
+
+
+Q_DOC_TABLE_CHECKSUM_SQL = """
+SELECT lower(lpad(to_hex(bit_xor(
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                                 1, 16)) AS UBIGINT))), 16, '0')) AS checksum_hex,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+"""

@@ -456,3 +456,44 @@ def test_role_transitions_match_pandas_lead(ray_session):
     # every turn except each conversation's last contributes exactly one pair
     n_convs = tr["conv_id"].nunique()
     assert got["n_pairs"].sum() == len(tr) - n_convs
+
+
+def test_table_checksum_order_invariant_and_content_sensitive(ray_session):
+    import hashlib
+
+    from manga_ocr_ray.pipelines.documents import q_doc_table_checksum
+
+    got = q_doc_table_checksum(SF_DIR)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    v = np.uint64(0)
+    # fold in a shuffled order — XOR must not care
+    for _, row in docs.sample(frac=1.0, random_state=0).iterrows():
+        h = hashlib.md5(f"{row.doc_id}|{row.text}".encode()).hexdigest()[:16]
+        v ^= np.uint64(int(h, 16))
+    assert got["checksum_hex"].iloc[0] == f"{int(v):016x}"
+    assert got["n_rows"].iloc[0] == len(docs)
+    # flipping one character flips the checksum
+    h0 = hashlib.md5(f"{docs.doc_id.iloc[0]}|{docs.text.iloc[0]}".encode()) \
+        .hexdigest()[:16]
+    h1 = hashlib.md5(f"{docs.doc_id.iloc[0]}|{docs.text.iloc[0]}X".encode()) \
+        .hexdigest()[:16]
+    assert (v ^ np.uint64(int(h0, 16)) ^ np.uint64(int(h1, 16))) != v
+
+
+def test_grouping_sets_totals_consistent(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_grouping_sets
+
+    out = q_events_grouping_sets(SF_DIR)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "ts"])
+    per_type = out[out["event_type"].notna()]
+    per_dow = out[out["event_type"].isna()]
+    assert per_type["n"].sum() == len(ev) == per_dow["n"].sum()
+    want_types = ev["event_type"].value_counts()
+    for _, row in per_type.iterrows():
+        assert row["n"] == want_types[row["event_type"]]
+        assert np.isnan(row["dow"])
+    # pandas dayofweek is Mon=0; isodow is Mon=1..Sun=7
+    want_dow = (ev["ts"].dt.dayofweek + 1).value_counts()
+    for _, row in per_dow.iterrows():
+        assert row["n"] == want_dow[int(row["dow"])]
