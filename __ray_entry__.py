@@ -681,6 +681,54 @@ FROM w WHERE to_role IS NOT NULL GROUP BY 1, 2
 """
 
 
+def _q_transcript_strip_ratio(sf_dir: str):
+    """Per-payload-kind extraction STRIP RATIO — the north-rule lineage
+    metric (SURVEY G3: how much boilerplate the extractor removes per kind)
+    as an oracle-gated query over the REAL extraction output.  extract_turns
+    already carries raw_chars/extracted_chars per turn, so the metric is one
+    combining groupby on the ``tool`` kind column — no extra pass.  The
+    oracle recomputes raw lengths from the transcripts table and extracted
+    lengths from the golden expected table, so a hash match certifies the
+    char accounting AND (again) the per-turn golden equality it rides on."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from manga_ocr_ray.pipelines.extract import extract_turns
+
+    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet")
+    out = extract_turns(ds, batch_size=1024, num_buckets=64, concurrency=(1, 4))
+    agg = (out.groupby("tool")
+              .aggregate(Count(alias_name="n_turns"),
+                         Sum("raw_chars", alias_name="raw_chars"),
+                         Sum("extracted_chars", alias_name="extracted_chars")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rc = pc.cast(t["raw_chars"], pa.float64())
+        ec = pc.cast(t["extracted_chars"], pa.float64())
+        return pa.table({
+            "tool": t["tool"],
+            "n_turns": pc.cast(t["n_turns"], pa.int64()),
+            "raw_chars": pc.cast(t["raw_chars"], pa.int64()),
+            "extracted_chars": pc.cast(t["extracted_chars"], pa.int64()),
+            "strip_ratio": pc.subtract(pa.scalar(1.0), pc.divide(ec, rc)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_Q_TRANSCRIPT_STRIP_RATIO_SQL = f"""
+SELECT t.tool, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(t.text)) AS BIGINT) AS raw_chars,
+       CAST(sum(length(e.expected_text)) AS BIGINT) AS extracted_chars,
+       1.0 - CAST(sum(length(e.expected_text)) AS DOUBLE)
+             / CAST(sum(length(t.text)) AS DOUBLE) AS strip_ratio
+FROM '{_ORACLE_CORPUS}/transcripts.parquet' t
+JOIN '{_ORACLE_CORPUS}/expected.parquet' e USING (conv_id, turn_idx)
+GROUP BY t.tool
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -1218,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_role_transitions": _q_transcript_role_transitions,
         "doc_table_checksum": D.q_doc_table_checksum,
         "events_grouping_sets": A.q_events_grouping_sets,
+        "transcript_strip_ratio": _q_transcript_strip_ratio,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1272,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_role_transitions": _Q_TRANSCRIPT_ROLE_TRANSITIONS_SQL,
         "doc_table_checksum": D.Q_DOC_TABLE_CHECKSUM_SQL,
         "events_grouping_sets": A.Q_EVENTS_GROUPING_SETS_SQL,
+        "transcript_strip_ratio": _Q_TRANSCRIPT_STRIP_RATIO_SQL,
         "events_value_trend": A.Q_EVENTS_VALUE_TREND_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,

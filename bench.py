@@ -149,6 +149,8 @@ def run_queries() -> dict[str, float]:
         "q10_returned_items", "doc_winnowing", "doc_chunk_windows",
         # round-4 wave 3 (eval metrics + LLM-data)
         "doc_prep_pipeline", "doc_dsir_weights", "embedding_semdedup",
+        # round-5 session-2 wave (selection / moments / fingerprint)
+        "orders_percentiles_2pass", "lineitem_skew_kurt", "doc_table_checksum",
     ]
     out: dict[str, float] = {}
     for name in chosen:

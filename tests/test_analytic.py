@@ -497,3 +497,14 @@ def test_grouping_sets_totals_consistent(ray_session):
     want_dow = (ev["ts"].dt.dayofweek + 1).value_counts()
     for _, row in per_dow.iterrows():
         assert row["n"] == want_dow[int(row["dow"])]
+
+
+def test_strip_ratio_orders_kinds_sensibly(ray_session):
+    import __ray_entry__ as E
+
+    out = (E._q_transcript_strip_ratio(SF_DIR).to_pandas()
+           .set_index("tool"))
+    # html payloads carry the most boilerplate; plain turns the least
+    assert out.loc["html", "strip_ratio"] > out.loc["", "strip_ratio"]
+    assert (out["strip_ratio"] > 0).all() and (out["strip_ratio"] < 1).all()
+    assert (out["extracted_chars"] <= out["raw_chars"]).all()
