@@ -1267,6 +1267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_table_checksum": D.q_doc_table_checksum,
         "events_grouping_sets": A.q_events_grouping_sets,
         "transcript_strip_ratio": _q_transcript_strip_ratio,
+        "lineitem_weighted_median": A.q_lineitem_weighted_median,
+        "doc_length_ks": A.q_doc_length_ks,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1322,6 +1324,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_table_checksum": D.Q_DOC_TABLE_CHECKSUM_SQL,
         "events_grouping_sets": A.Q_EVENTS_GROUPING_SETS_SQL,
         "transcript_strip_ratio": _Q_TRANSCRIPT_STRIP_RATIO_SQL,
+        "lineitem_weighted_median": A.Q_LINEITEM_WEIGHTED_MEDIAN_SQL,
+        "doc_length_ks": A.Q_DOC_LENGTH_KS_SQL,
         "events_value_trend": A.Q_EVENTS_VALUE_TREND_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,

@@ -1642,9 +1642,15 @@ def q_orders_percentiles_2pass(sf_dir: str) -> pd.DataFrame:
         return pa.table({"cbin": pa.array(nz.astype(np.int64)),
                          "n": pa.array(counts[nz].astype(np.int64))})
 
+    # Combine the block partials on the DRIVER: the table is bounded by
+    # blocks × occupied bins (domain-bounded), and Ray's sort-based Aggregate
+    # measures ~1 ms/group on this host (27k groups → 25 s) while the pandas
+    # combine of the same partials is milliseconds.  At extreme block counts
+    # a tree-combine (repartition → per-partition sum) slots in unchanged.
     hist = (ds.map_batches(coarse_partial, batch_format="pyarrow")
-              .groupby("cbin").aggregate(Sum("n", alias_name="n"))
-              .to_pandas().sort_values("cbin").reset_index(drop=True))
+              .to_pandas()
+              .groupby("cbin", as_index=False)["n"].sum()
+              .sort_values("cbin").reset_index(drop=True))
     n_total = int(hist["n"].sum())
     cum = hist["n"].cumsum().to_numpy()          # rows at or below each bin
     start_rank = cum - hist["n"].to_numpy()      # first 0-indexed rank in bin
@@ -1664,8 +1670,9 @@ def q_orders_percentiles_2pass(sf_dir: str) -> pd.DataFrame:
                          "n": pa.array(counts.astype(np.int64))})
 
     fine = (ds.map_batches(fine_partial, batch_format="pyarrow")
-              .groupby("cents").aggregate(Sum("n", alias_name="n"))
-              .to_pandas().sort_values("cents").reset_index(drop=True))
+              .to_pandas()
+              .groupby("cents", as_index=False)["n"].sum()
+              .sort_values("cents").reset_index(drop=True))
     fvals = fine["cents"].to_numpy()
     fcum_by_bin: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for b in needed:
@@ -1767,4 +1774,141 @@ def q_events_grouping_sets(sf_dir: str) -> pd.DataFrame:
 Q_EVENTS_GROUPING_SETS_SQL = """
 SELECT event_type, CAST(isodow(ts) AS DOUBLE) AS dow, count(*) AS n
 FROM events GROUP BY GROUPING SETS ((event_type), (CAST(isodow(ts) AS DOUBLE)))
+"""
+
+
+# ---- weighted median via two-pass weighted rank selection ---------------------
+
+def q_lineitem_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median of ``l_extendedprice`` per returnflag — the
+    same coarse→fine two-pass rank-selection plan as
+    q_orders_percentiles_2pass, generalized to WEIGHTED rank: pass 1 sums
+    int64 quantity weights into coarse $10 cents-bins per group, the driver
+    locates the bin where the cumulative weight first reaches half the
+    group's total, and pass 2 sums exact per-cent weights only inside those
+    bins.  Definition (mirrored in the oracle): the smallest price whose
+    cumulative weight ≥ total/2, computed over per-DISTINCT-price weights so
+    tie order cannot matter.  Shuffle traffic: groups × occupied bins, never
+    rows."""
+    coarse_w = 1000
+    cols = ["l_returnflag", "l_extendedprice", "l_quantity"]
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
+
+    def coarse_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "cbin": (np.round(b["l_extendedprice"].to_numpy() * 100)
+                     .astype(np.int64) // coarse_w),
+            "w": np.round(b["l_quantity"].to_numpy()).astype(np.int64),
+        })
+        return df.groupby(["l_returnflag", "cbin"], as_index=False)["w"].sum()
+
+    # driver-side combine of the block partials (same rationale as
+    # q_orders_percentiles_2pass: partials are domain-bounded, and Ray's
+    # Aggregate costs ~1 ms/group — 27k (flag, bin) groups measured 25 s
+    # where this combine is milliseconds)
+    hist = (ds.map_batches(coarse_partial, batch_format="pandas")
+              .to_pandas()
+              .groupby(["l_returnflag", "cbin"], as_index=False)["w"].sum()
+              .sort_values(["l_returnflag", "cbin"]))
+    targets: dict[str, tuple[int, int, float]] = {}  # flag -> (bin, w_before, T)
+    for flag, g in hist.groupby("l_returnflag"):
+        tw = int(g["w"].sum())
+        T = tw / 2.0
+        cumw = g["w"].cumsum().to_numpy()
+        # first bin whose cumulative weight reaches T (cumw[-1] = tw ≥ T)
+        i = int(np.searchsorted(cumw, T, side="left"))
+        targets[flag] = (int(g["cbin"].iloc[i]),
+                         int(cumw[i] - g["w"].iloc[i]), tw)
+    needed = {(f, t[0]) for f, t in targets.items()}
+
+    def fine_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"], "cents": cents,
+            "cbin": cents // coarse_w,
+            "w": np.round(b["l_quantity"].to_numpy()).astype(np.int64),
+        })
+        mask = np.zeros(len(df), dtype=bool)
+        for f, b_ in needed:  # ≤ |groups| clauses, each a vectorized compare
+            mask |= (df["l_returnflag"].to_numpy() == f) & \
+                    (df["cbin"].to_numpy() == b_)
+        df = df[mask]
+        return df.groupby(["l_returnflag", "cents"], as_index=False)["w"].sum()
+
+    fine = (ds.map_batches(fine_partial, batch_format="pandas")
+              .to_pandas()
+              .groupby(["l_returnflag", "cents"], as_index=False)["w"].sum()
+              .sort_values(["l_returnflag", "cents"]))
+    rows = []
+    for flag, (b, w_before, tw) in sorted(targets.items()):
+        g = fine[fine["l_returnflag"] == flag]
+        cum = w_before + g["w"].cumsum().to_numpy()
+        j = int(np.flatnonzero(cum >= tw / 2.0)[0])
+        rows.append({"l_returnflag": flag, "total_qty": tw,
+                     "wmedian_price": float(g["cents"].iloc[j]) / 100.0})
+    return pd.DataFrame(rows)
+
+
+Q_LINEITEM_WEIGHTED_MEDIAN_SQL = """
+WITH g AS (SELECT l_returnflag, l_extendedprice AS p,
+                  sum(CAST(round(l_quantity) AS BIGINT)) AS w
+           FROM lineitem GROUP BY 1, 2),
+c AS (SELECT l_returnflag, p,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY p) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g)
+SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS total_qty,
+       min(p) FILTER (WHERE cw >= tw / 2.0) AS wmedian_price
+FROM c GROUP BY l_returnflag
+"""
+
+
+# ---- Kolmogorov-Smirnov distribution drift between corpus slices --------------
+
+def q_doc_length_ks(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the length
+    distributions of English vs non-English documents — the
+    distribution-drift audit a training-mix pipeline runs when a new source
+    lands (did the length profile shift?).  Each block reduces to
+    (n_chars, count_en, count_other) partials; the combining groupby moves
+    only distinct lengths, and the driver takes max|ECDF_a − ECDF_b| over
+    that domain-bounded table.  For an unbounded metric the same plan runs
+    over coarse bins first (the percentile-selection trick above); exact
+    here because the length domain is bounded."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.equal(t["lang"], pa.scalar("en")).to_numpy(zero_copy_only=False)
+        nc = pc.cast(t["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"n_chars": nc,
+                           "a": en.astype(np.int64),
+                           "b": (~en).astype(np.int64)})
+        g = df.groupby("n_chars", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    c = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_chars")
+           .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+           .to_pandas().sort_values("n_chars"))
+    ta, tb = float(c["a"].sum()), float(c["b"].sum())
+    fa = c["a"].cumsum().to_numpy(dtype=np.float64) / ta
+    fb = c["b"].cumsum().to_numpy(dtype=np.float64) / tb
+    return pd.DataFrame({"n_en": [int(ta)], "n_other": [int(tb)],
+                         "ks_stat": [float(np.abs(fa - fb).max())]})
+
+
+Q_DOC_LENGTH_KS_SQL = """
+WITH c AS (SELECT n_chars,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+                  CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS b
+           FROM documents GROUP BY 1),
+t AS (SELECT sum(a) AS ta, sum(b) AS tb FROM c),
+e AS (SELECT sum(a) OVER (ORDER BY n_chars) / t.ta AS fa,
+             sum(b) OVER (ORDER BY n_chars) / t.tb AS fb
+      FROM c CROSS JOIN t)
+SELECT (SELECT CAST(ta AS BIGINT) FROM t) AS n_en,
+       (SELECT CAST(tb AS BIGINT) FROM t) AS n_other,
+       max(abs(fa - fb)) AS ks_stat
+FROM e
 """

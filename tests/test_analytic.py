@@ -508,3 +508,33 @@ def test_strip_ratio_orders_kinds_sensibly(ray_session):
     assert out.loc["html", "strip_ratio"] > out.loc["", "strip_ratio"]
     assert (out["strip_ratio"] > 0).all() and (out["strip_ratio"] < 1).all()
     assert (out["extracted_chars"] <= out["raw_chars"]).all()
+
+
+def test_weighted_median_matches_direct(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_lineitem_weighted_median
+
+    got = q_lineitem_weighted_median(SF_DIR).set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("l_extendedprice")
+        w = np.round(g["l_quantity"].to_numpy()).astype(np.int64)
+        cw = w.cumsum()
+        want = g["l_extendedprice"].to_numpy()[np.flatnonzero(cw >= cw[-1] / 2.0)[0]]
+        assert got.loc[flag, "wmedian_price"] == pytest.approx(want, abs=1e-9)
+        assert got.loc[flag, "total_qty"] == cw[-1]
+
+
+def test_ks_statistic_matches_direct_ecdf(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_doc_length_ks
+
+    got = q_doc_length_ks(SF_DIR)
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["lang", "n_chars"])
+    a = np.sort(d.loc[d["lang"] == "en", "n_chars"].to_numpy())
+    b = np.sort(d.loc[d["lang"] != "en", "n_chars"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    assert got["ks_stat"].iloc[0] == pytest.approx(np.abs(fa - fb).max(), abs=1e-12)
+    assert got["n_en"].iloc[0] == len(a) and got["n_other"].iloc[0] == len(b)
+    assert 0.0 <= got["ks_stat"].iloc[0] <= 1.0
