@@ -1643,10 +1643,12 @@ def q_orders_percentiles_2pass(sf_dir: str) -> pd.DataFrame:
                          "n": pa.array(counts[nz].astype(np.int64))})
 
     # Combine the block partials on the DRIVER: the table is bounded by
-    # blocks × occupied bins (domain-bounded), and Ray's sort-based Aggregate
-    # measures ~1 ms/group on this host (27k groups → 25 s) while the pandas
-    # combine of the same partials is milliseconds.  At extreme block counts
-    # a tree-combine (repartition → per-partition sum) slots in unchanged.
+    # blocks × occupied bins (domain-bounded), so a Ray groupby buys nothing
+    # here and the pandas combine is milliseconds.  (Root-caused while
+    # tuning: it is PANDAS-format partial blocks feeding the sort-based
+    # Aggregate that are pathological — 29 s vs 2.4 s Arrow-format at 27k
+    # groups, measured on identical data — not the group count itself.)
+    # At extreme block counts a tree-combine slots in unchanged.
     hist = (ds.map_batches(coarse_partial, batch_format="pyarrow")
               .to_pandas()
               .groupby("cbin", as_index=False)["n"].sum()
@@ -1803,10 +1805,10 @@ def q_lineitem_weighted_median(sf_dir: str) -> pd.DataFrame:
         })
         return df.groupby(["l_returnflag", "cbin"], as_index=False)["w"].sum()
 
-    # driver-side combine of the block partials (same rationale as
-    # q_orders_percentiles_2pass: partials are domain-bounded, and Ray's
-    # Aggregate costs ~1 ms/group — 27k (flag, bin) groups measured 25 s
-    # where this combine is milliseconds)
+    # driver-side combine of the block partials (same rationale and
+    # measurement as q_orders_percentiles_2pass: partials are domain-bounded
+    # and the driver combine is milliseconds; NB the 29-s trap there is
+    # pandas-format blocks feeding Aggregate, not group count)
     hist = (ds.map_batches(coarse_partial, batch_format="pandas")
               .to_pandas()
               .groupby(["l_returnflag", "cbin"], as_index=False)["w"].sum()
