@@ -1269,6 +1269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_strip_ratio": _q_transcript_strip_ratio,
         "lineitem_weighted_median": A.q_lineitem_weighted_median,
         "doc_length_ks": A.q_doc_length_ks,
+        "doc_token_triangles": D.q_doc_token_triangles,
+        "source_vocab_jaccard": D.q_source_vocab_jaccard,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1326,6 +1328,8 @@ def oracle_sql() -> dict[str, str]:
         "transcript_strip_ratio": _Q_TRANSCRIPT_STRIP_RATIO_SQL,
         "lineitem_weighted_median": A.Q_LINEITEM_WEIGHTED_MEDIAN_SQL,
         "doc_length_ks": A.Q_DOC_LENGTH_KS_SQL,
+        "doc_token_triangles": D.q_doc_token_triangles_sql(),
+        "source_vocab_jaccard": D.Q_SOURCE_VOCAB_JACCARD_SQL,
         "events_value_trend": A.Q_EVENTS_VALUE_TREND_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,

@@ -2214,3 +2214,126 @@ SELECT lower(lpad(to_hex(bit_xor(
        CAST(count(*) AS BIGINT) AS n_rows
 FROM documents
 """
+
+
+# ---- triangle counting on the token-adjacency graph ---------------------------
+
+def q_doc_token_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count of the token-adjacency graph (distinct undirected
+    adjacent-token pairs) — the classic distributed graph statistic (the
+    clustering-coefficient numerator).  Plan: canonically orient every edge
+    (u < v, UTF-8 order — identical in Arrow and DuckDB), block-local Arrow
+    dedup then ONE combining groupby gives the distinct edge set; wedges
+    u–v–w come from one hash join of the edge list with itself (u<v<w holds
+    by construction, so each triangle is built exactly once), closed by a
+    second join against the edge set on (u, w).  Edge/wedge streams are
+    vocabulary-bounded, never corpus-sized.  (At web scale the standard
+    refinement — orient by degree instead of lexicographically — bounds the
+    wedge fan-out of hub nodes; lexicographic orientation keeps the oracle
+    twin exact here.)"""
+    from .relational import _join_partitions
+
+    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bigrams_batch, batch_format="pyarrow").drop_columns(["doc_id"])
+
+    def orient(t: pa.Table) -> pa.Table:
+        p, c = t["prev"].combine_chunks(), t["cur"].combine_chunks()
+        lt = pc.less(p, c)
+        tbl = pa.table({"u": pc.if_else(lt, p, c), "v": pc.if_else(lt, c, p)})
+        tbl = tbl.filter(pc.invert(pc.equal(p, c)))
+        return pa.TableGroupBy(tbl, ["u", "v"]).aggregate([])  # block dedup
+
+    edges = (pairs.map_batches(orient, batch_format="pyarrow")
+                  .groupby(["u", "v"]).aggregate(Count(alias_name="c"))
+                  .drop_columns(["c"]).materialize())
+    n_parts = max(1, min(_join_partitions(), edges.count() // 1000))
+    as_vw = edges.map_batches(
+        lambda t: pa.table({"v": t["u"], "w": t["v"]}), batch_format="pyarrow")
+    as_uw = edges.map_batches(
+        lambda t: pa.table({"u": t["u"], "w": t["v"]}), batch_format="pyarrow")
+    wedges = edges.join(as_vw, join_type="inner", num_partitions=n_parts,
+                        on=("v",))
+    closed = wedges.join(as_uw, join_type="inner", num_partitions=n_parts,
+                         on=("u", "w"))
+    return pd.DataFrame({"n_triangles": [closed.count()]})
+
+
+def q_doc_token_triangles_sql() -> str:
+    return f"""
+WITH toks AS ({Q_DOC_TOKENS_SQL}),
+big AS (SELECT a.token AS prev, b.token AS cur
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.tok_idx = a.tok_idx + 1),
+e AS (SELECT DISTINCT least(prev, cur) AS u, greatest(prev, cur) AS v
+      FROM big WHERE prev <> cur)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+# ---- pairwise source-vocabulary Jaccard (corpus-slice similarity) -------------
+
+def q_source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Jaccard similarity of the token vocabularies of every source pair —
+    the corpus-comparison matrix a data-mixing pipeline consults before
+    blending a new source (near-1 pairs are redundant feeds; near-0 pairs
+    shift the mix).  Plan: block-local Arrow dedup + ONE combining groupby
+    gives distinct (source, token); per-source sizes are a tiny groupby;
+    intersections come from one token-keyed self-join pre-filtered to
+    (a < b), so the exchange is bounded by Σ_token deg(token)² ≤
+    |sources|²·vocab, never the corpus.  Driver sees |sources|²/2 rows."""
+    from .relational import _join_partitions
+
+    from ..functions.textstats import tokens_with_parent
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        tok, par = tokens_with_parent(t["text"])
+        src = t["source"].combine_chunks().take(pa.array(par))
+        return pa.TableGroupBy(pa.table({"source": src, "token": tok}),
+                               ["source", "token"]).aggregate([])
+
+    st = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby(["source", "token"]).aggregate(Count(alias_name="c"))
+            .drop_columns(["c"]).materialize())
+    sizes = (st.groupby("source").aggregate(Count(alias_name="n"))
+               .to_pandas().set_index("source")["n"])
+    n_parts = max(1, min(_join_partitions(), st.count() // 1000))
+    a = st.map_batches(lambda t: pa.table({"token": t["token"],
+                                           "sa": t["source"]}),
+                       batch_format="pyarrow")
+    b = st.map_batches(lambda t: pa.table({"token": t["token"],
+                                           "sb": t["source"]}),
+                       batch_format="pyarrow")
+    inter = (a.join(b, join_type="inner", num_partitions=n_parts, on=("token",))
+              .map_batches(lambda t: t.filter(pc.less(t["sa"], t["sb"])),
+                           batch_format="pyarrow")
+              .groupby(["sa", "sb"]).aggregate(Count(alias_name="n_common"))
+              .to_pandas())
+    na = inter["sa"].map(sizes).to_numpy(dtype=np.int64)
+    nb = inter["sb"].map(sizes).to_numpy(dtype=np.int64)
+    ni = inter["n_common"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame({
+        "source_a": inter["sa"], "source_b": inter["sb"],
+        "n_common": ni.astype(np.int64),
+        "jaccard": ni.astype(np.float64) / (na + nb - ni),
+    })
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+Q_SOURCE_VOCAB_JACCARD_SQL = f"""
+WITH st AS (SELECT DISTINCT source, token
+            FROM (SELECT source,
+                         unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+                  FROM documents)),
+sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM st a JOIN st b USING (token)
+          WHERE a.source < b.source GROUP BY 1, 2)
+SELECT source_a, source_b, n_common,
+       n_common * 1.0 / (x.n + y.n - n_common) AS jaccard
+FROM inter JOIN sizes x ON x.source = source_a
+           JOIN sizes y ON y.source = source_b
+"""

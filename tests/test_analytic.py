@@ -538,3 +538,47 @@ def test_ks_statistic_matches_direct_ecdf(ray_session):
     assert got["ks_stat"].iloc[0] == pytest.approx(np.abs(fa - fb).max(), abs=1e-12)
     assert got["n_en"].iloc[0] == len(a) and got["n_other"].iloc[0] == len(b)
     assert 0.0 <= got["ks_stat"].iloc[0] <= 1.0
+
+
+def test_token_triangles_match_direct_enumeration(ray_session):
+    from itertools import combinations
+
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+    from manga_ocr_ray.pipelines.documents import q_doc_token_triangles
+
+    got = q_doc_token_triangles(SF_DIR)["n_triangles"].iloc[0]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    edges = set()
+    for toks in docs["text"].str.findall(TOKEN_PATTERN):
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                edges.add((min(x, y), max(x, y)))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = sum(1 for u, v in edges
+               for w in adj[u] & adj[v] if v < w)
+    assert got == want
+
+
+def test_source_jaccard_matches_direct_sets(ray_session):
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+    from manga_ocr_ray.pipelines.documents import q_source_vocab_jaccard
+
+    got = q_source_vocab_jaccard(SF_DIR).set_index(["source_a", "source_b"])
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "text"])
+    vocab = {s: set(g["text"].str.findall(TOKEN_PATTERN).explode().dropna())
+             for s, g in docs.groupby("source")}
+    checked = 0
+    for (a, b), row in got.iterrows():
+        inter = len(vocab[a] & vocab[b])
+        assert a < b and row["n_common"] == inter
+        assert row["jaccard"] == pytest.approx(
+            inter / len(vocab[a] | vocab[b]), abs=1e-12)
+        checked += 1
+    # every intersecting pair present exactly once
+    want_pairs = sum(1 for a, b in __import__("itertools").combinations(sorted(vocab), 2)
+                     if vocab[a] & vocab[b])
+    assert checked == want_pairs
