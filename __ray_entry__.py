@@ -729,6 +729,50 @@ GROUP BY t.tool
 """
 
 
+def _q_transcript_conv_dedup(sf_dir: str):
+    """Exact dedup of MERGED conversations — the flagship-domain composition
+    (extraction → ordered per-conversation merge → 128-bit content keys →
+    per-content min representative) that collapses copy-paste conversations
+    before training.  Only (hash, conv_id) pairs move through the dedup
+    groupby and the rep join — merged text never re-shuffles.  The oracle
+    partitions the golden merged strings directly, so a hash match certifies
+    the whole chain including that 128-bit keys stand in for string equality
+    (the doc_exact_dedup argument: expected collisions ~1e-14 at 10^12
+    rows)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min
+    from manga_ocr_ray.functions.hashing import content_hash128
+    from manga_ocr_ray.pipelines.extract import conversation_merge, extract_turns
+    from manga_ocr_ray.pipelines.relational import _join_partitions
+
+    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet")
+    merged = conversation_merge(
+        extract_turns(ds, num_buckets=16, concurrency=(1, 4)), chunk_size=64)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        lo, hi = content_hash128(t["merged_text"])
+        return pa.table({"conv_id": t["conv_id"],
+                         "h_lo": pa.array(lo.view(np.int64)),
+                         "h_hi": pa.array(hi.view(np.int64))})
+
+    k = merged.map_batches(keyed, batch_format="pyarrow").materialize()
+    n_parts = max(1, min(_join_partitions(), k.count() // 1000))
+    reps = k.groupby(["h_lo", "h_hi"]).aggregate(
+        Min("conv_id", alias_name="rep_conv"))
+    out = k.join(reps, join_type="inner", num_partitions=n_parts,
+                 on=("h_lo", "h_hi"))
+    return out.select_columns(["conv_id", "rep_conv"])
+
+
+_Q_TRANSCRIPT_CONV_DEDUP_SQL = f"""
+WITH m AS (SELECT conv_id,
+                  string_agg(expected_text, chr(10) ORDER BY turn_idx) AS t
+           FROM '{_ORACLE_CORPUS}/expected.parquet' GROUP BY conv_id)
+SELECT conv_id, min(conv_id) OVER (PARTITION BY t) AS rep_conv FROM m
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: deterministic transcript corpus →
     actor-pool extraction → normalized per-turn output."""
@@ -1271,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_ks": A.q_doc_length_ks,
         "doc_token_triangles": D.q_doc_token_triangles,
         "source_vocab_jaccard": D.q_source_vocab_jaccard,
+        "transcript_conv_dedup": _q_transcript_conv_dedup,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1330,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_ks": A.Q_DOC_LENGTH_KS_SQL,
         "doc_token_triangles": D.q_doc_token_triangles_sql(),
         "source_vocab_jaccard": D.Q_SOURCE_VOCAB_JACCARD_SQL,
+        "transcript_conv_dedup": _Q_TRANSCRIPT_CONV_DEDUP_SQL,
         "events_value_trend": A.Q_EVENTS_VALUE_TREND_SQL,
         "nations_intersect": A.Q_NATIONS_INTERSECT_SQL,
         "parts_dense_rank": A.Q_PARTS_DENSE_RANK_SQL,

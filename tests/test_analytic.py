@@ -582,3 +582,39 @@ def test_source_jaccard_matches_direct_sets(ray_session):
     want_pairs = sum(1 for a, b in __import__("itertools").combinations(sorted(vocab), 2)
                      if vocab[a] & vocab[b])
     assert checked == want_pairs
+
+
+def test_conv_dedup_rep_mapping_and_planted_duplicate(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+    import __ray_entry__ as E
+    from ray.data.aggregate import Min
+    from manga_ocr_ray.functions.hashing import content_hash128
+
+    out = E._q_transcript_conv_dedup(SF_DIR).to_pandas()
+    # rep is the minimum of its content group → never larger than the member,
+    # and a representative always represents itself
+    assert (out["rep_conv"] <= out["conv_id"]).all()
+    reps = set(out["rep_conv"])
+    rep_rows = out[out["conv_id"].isin(reps)]
+    assert (rep_rows["rep_conv"] == rep_rows["conv_id"]).all()
+
+    # planted duplicate: two conv_ids with identical merged text collapse to
+    # the smaller id through the same hash→min-rep chain the query runs
+    merged = pd.DataFrame({"conv_id": ["c1", "c2", "c3"],
+                           "merged_text": ["same text", "same text", "other"]})
+    ds = rd.from_pandas(merged)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        lo, hi = content_hash128(t["merged_text"])
+        return pa.table({"conv_id": t["conv_id"],
+                         "h_lo": pa.array(lo.view(np.int64)),
+                         "h_hi": pa.array(hi.view(np.int64))})
+
+    k = ds.map_batches(keyed, batch_format="pyarrow")
+    reps2 = k.groupby(["h_lo", "h_hi"]).aggregate(Min("conv_id", alias_name="rep"))
+    got = (k.join(reps2, join_type="inner", num_partitions=1,
+                  on=("h_lo", "h_hi"))
+           .to_pandas().set_index("conv_id")["rep"].to_dict())
+    assert got == {"c1": "c1", "c2": "c1", "c3": "c3"}
