@@ -1531,16 +1531,21 @@ def q_lineitem_skew_kurt(sf_dir: str) -> rd.Dataset:
         def __init__(self, ref):
             self.mean = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            dx = (b["l_extendedprice"].to_numpy()
-                  - b["l_returnflag"].map(self.mean).to_numpy())
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flags = t["l_returnflag"].combine_chunks()
+            mu = pd.Series(flags.to_numpy(zero_copy_only=False)) \
+                .map(self.mean).to_numpy()
+            dx = t["l_extendedprice"].combine_chunks().to_numpy() - mu
             d2 = dx * dx
-            df = pd.DataFrame({"l_returnflag": b["l_returnflag"],
-                               "m2": d2, "m3": d2 * dx, "m4": d2 * d2})
-            return df.groupby("l_returnflag", as_index=False).sum()
+            df = pd.DataFrame({"l_returnflag": flags.to_pandas(),
+                               "m2": d2, "m3": d2 * dx, "m4": d2 * d2}) \
+                .groupby("l_returnflag", as_index=False).sum()
+            # Arrow out: pandas partial blocks feeding Aggregate hit a slow
+            # path and trip streaming-executor schema-mismatch warnings
+            return pa.Table.from_pandas(df, preserve_index=False)
 
     agg = (ds.map_batches(CenteredPowerPartials, fn_constructor_args=(means_ref,),
-                          batch_format="pandas", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=(1, 8))
              .groupby("l_returnflag")
              .aggregate(Sum("m2", alias_name="m2"), Sum("m3", alias_name="m3"),
                         Sum("m4", alias_name="m4")))

@@ -802,12 +802,21 @@ def q_orders_price_quantiles(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(_pq(sf_dir, "orders"),
                          columns=["o_orderpriority", "o_totalprice"])
 
-    def quant(g: pd.DataFrame) -> pd.DataFrame:
+    def quant(g: pd.DataFrame) -> pa.Table:
+        # Typed Arrow out, incl. for EMPTY hash partitions: pandas group
+        # results (or schema-less empty blocks) interleaved with Arrow blocks
+        # trip streaming-executor schema-mismatch warnings in the BENCH tail
+        if len(g) == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "p25": pa.array([], pa.float64()),
+                             "median": pa.array([], pa.float64()),
+                             "p75": pa.array([], pa.float64())})
         v = g["o_totalprice"].to_numpy()
         q25, q50, q75 = np.quantile(v, [0.25, 0.5, 0.75])
-        return pd.DataFrame({
-            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-            "p25": [q25], "median": [q50], "p75": [q75],
+        return pa.table({
+            "o_orderpriority": pa.array([g["o_orderpriority"].iloc[0]]),
+            "p25": pa.array([q25]), "median": pa.array([q50]),
+            "p75": pa.array([q75]),
         })
 
     return ds.groupby("o_orderpriority").map_groups(quant, batch_format="pandas")
