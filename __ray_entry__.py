@@ -555,6 +555,41 @@ GROUP BY conv_id
 """
 
 
+def _conv_shard_window(columns: list[str], per_shard, *, num_shards: int = 64):
+    """Shared scaffolding for `lead() OVER (PARTITION BY conv_id ORDER BY
+    turn_idx)`-shaped transcript windows (review fix r5 — tool-latency and
+    role-transitions previously copy-pasted it): read the projected
+    transcript columns, shard by hash(conv_id) so conversations never
+    split, and hand each shard — pre-sorted by (conv_id, turn_idx), with
+    the shifted boolean ``same_next[i] = conv[i+1] == conv[i]`` — to
+    ``per_shard(sorted_table, same_next)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from manga_ocr_ray.functions.hashing import hash64_array
+
+    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet",
+                         columns=columns)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = (hash64_array(t["conv_id"]) % np.uint64(num_shards)).astype(np.int32)
+        return t.append_column("shard", pa.array(sh))
+
+    def in_shard(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = g.num_rows
+        same_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            conv = g["conv_id"].combine_chunks()
+            same_next[:-1] = pc.equal(conv.slice(1),
+                                      conv.slice(0, n - 1)).to_numpy(
+                                          zero_copy_only=False)
+        return per_shard(g, same_next)
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(in_shard, batch_format="pyarrow"))
+
+
 def _q_transcript_tool_latency(sf_dir: str):
     """Per-tool-call response latency: for every turn carrying a tool tag,
     the seconds until the conversation's NEXT turn — ``lead(ts) OVER
@@ -564,41 +599,24 @@ def _q_transcript_tool_latency(sf_dir: str):
     exact).  The agent-transcript triage metric for slow tools."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
-    from manga_ocr_ray.functions.hashing import hash64_array
 
-    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet",
-                         columns=["conv_id", "turn_idx", "tool", "ts"])
-    num_shards = 64
-
-    def add_shard(t: pa.Table) -> pa.Table:
-        sh = (hash64_array(t["conv_id"]) % np.uint64(num_shards)).astype(np.int32)
-        return t.append_column("shard", pa.array(sh))
-
-    def lead_in_shard(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-        conv = g["conv_id"].combine_chunks()
-        n = len(conv)
+    def lead_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
         ts = pc.cast(g["ts"].combine_chunks(), pa.int64()).to_numpy()
         tool = g["tool"].combine_chunks().fill_null("")
-        same_next = np.zeros(n, dtype=bool)
-        if n > 1:
-            same_next[:-1] = pc.equal(conv.slice(1),
-                                      conv.slice(0, n - 1)).to_numpy(
-                                          zero_copy_only=False)
+        n = g.num_rows
         lat = np.full(n, np.nan)
         lat[same_next] = (ts[np.flatnonzero(same_next) + 1]
                           - ts[same_next]) / 1e6
         keep = (pc.not_equal(tool, "").to_numpy(zero_copy_only=False)
                 & same_next)
         out = pa.table({
-            "conv_id": conv, "turn_idx": g["turn_idx"], "tool": tool,
+            "conv_id": g["conv_id"], "turn_idx": g["turn_idx"], "tool": tool,
             "latency_sec": pa.array(lat, pa.float64()),
         })
         return out.filter(pa.array(keep))
 
-    return (ds.map_batches(add_shard, batch_format="pyarrow")
-            .groupby("shard").map_groups(lead_in_shard, batch_format="pyarrow"))
+    return _conv_shard_window(["conv_id", "turn_idx", "tool", "ts"],
+                              lead_in_shard)
 
 
 _Q_TRANSCRIPT_TOOL_LATENCY_SQL = f"""
@@ -623,30 +641,12 @@ def _q_transcript_role_transitions(sf_dir: str):
     groupby moves O(shards × roles²) rows, never the corpus."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
     from ray.data.aggregate import Sum
-    from manga_ocr_ray.functions.hashing import hash64_array
 
-    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet",
-                         columns=["conv_id", "turn_idx", "role"])
-    num_shards = 64
-
-    def add_shard(t: pa.Table) -> pa.Table:
-        sh = (hash64_array(t["conv_id"]) % np.uint64(num_shards)).astype(np.int32)
-        return t.append_column("shard", pa.array(sh))
-
-    def transitions_in_shard(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-        conv = g["conv_id"].combine_chunks()
-        n = len(conv)
+    def transitions_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
         role = pc.dictionary_encode(g["role"].combine_chunks())
         codes = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = role.dictionary.to_pylist()
-        same_next = np.zeros(n, dtype=bool)
-        if n > 1:
-            same_next[:-1] = pc.equal(conv.slice(1),
-                                      conv.slice(0, n - 1)).to_numpy(
-                                          zero_copy_only=False)
         i = np.flatnonzero(same_next)
         r = len(vocab)
         pair_counts = np.bincount(codes[i] * r + codes[i + 1],
@@ -658,11 +658,10 @@ def _q_transcript_role_transitions(sf_dir: str):
             "n": pa.array(pair_counts[nz].astype(np.int64)),
         })
 
-    agg = (ds.map_batches(add_shard, batch_format="pyarrow")
-             .groupby("shard").map_groups(transitions_in_shard,
-                                          batch_format="pyarrow")
-             .groupby(["from_role", "to_role"])
-             .aggregate(Sum("n", alias_name="n_pairs")))
+    agg = (_conv_shard_window(["conv_id", "turn_idx", "role"],
+                              transitions_in_shard)
+           .groupby(["from_role", "to_role"])
+           .aggregate(Sum("n", alias_name="n_pairs")))
 
     def as_i64(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("n_pairs"), "n_pairs",

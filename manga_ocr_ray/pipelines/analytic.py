@@ -1623,74 +1623,136 @@ FROM orders GROUP BY 1
 
 # ---- exact global percentiles by two-pass selection (no global sort) ----------
 
-def q_orders_percentiles_2pass(sf_dir: str) -> pd.DataFrame:
-    """Exact interpolated p25/p50/p75 of ``o_totalprice`` WITHOUT a global
-    sort — the classic distributed-selection plan: pass 1 reduces every block
-    to coarse-bin counts (int64-cents // 1000, i.e. $10 bins; bounded by the
-    value domain, not the row count), the driver locates which coarse bins
-    hold the target order statistics from the cumulative counts, and pass 2
-    counts exact cent values ONLY inside those few bins.  Driver state is
-    O(domain/1000 + hits×bin_width) cells and shuffle traffic is
-    O(blocks × occupied_bins) — at 10^12 rows a full sort moves ~8 TB of keys
-    while this plan moves megabytes.  (At extreme scale a bin can still hold
-    billions of rows; the same coarse→fine step then recurses — one more pass
-    per 1000× narrowing, noted here as the scale path.)  Interpolation
-    mirrors SQL ``quantile_cont``: value = x[floor(pos)] + frac·(x[ceil(pos)]
-    − x[floor(pos)]) with pos = (n−1)·q, on float-exact 2-decimal dollars."""
-    coarse_w = 1000  # cents per coarse bin
-    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+def _rank_select_cents(
+    ds: rd.Dataset,
+    prep,
+    thresholds_of,
+    *,
+    coarse_w: int = 1000,
+) -> tuple[dict[str, int], dict[tuple[str, float], int]]:
+    """Shared coarse→fine two-pass distributed rank-selection core (review
+    fix r5: ``q_orders_percentiles_2pass`` and ``q_lineitem_weighted_median``
+    previously duplicated the bin/crossing arithmetic).  Pass 1 reduces each
+    block to per-(group, coarse cents-bin) weight sums — bounded by the value
+    DOMAIN, never the row count; the DRIVER combines the partials and
+    locates, per group, the coarse bin where cumulative weight first reaches
+    each requested threshold; pass 2 re-scans only rows inside those bins
+    for exact per-cent weights.  Selection rule at threshold ``t``: the
+    smallest cents value whose per-distinct-value cumulative weight is ≥ t
+    (tie order cannot matter).  Shuffle traffic is O(blocks × occupied
+    bins); at 10^12 rows a full sort moves TBs of keys, this moves MBs (a
+    pathological bin recurses the same coarse→fine step — the scale path).
+
+    ``prep(block) -> (grp, cents, w)`` numpy arrays (``grp``/``w`` may be
+    None: single group / unit weights — the unweighted ungrouped case keeps
+    its np.bincount fast path).  ``thresholds_of({grp: total_w}) -> {grp:
+    [t, ...]}``.  Returns ``({grp: total_w}, {(grp, t): cents})``.
+
+    Block partials combine on the DRIVER on purpose: the table is domain-
+    bounded, so a Ray groupby buys nothing (root-caused while tuning: it is
+    PANDAS-format partial blocks feeding the sort-based Aggregate that are
+    pathological — 29 s vs 2.4 s Arrow-format at 27k groups, measured — not
+    the group count itself).  At extreme block counts a tree-combine slots
+    in unchanged."""
 
     def coarse_partial(t: pa.Table) -> pa.Table:
-        b = _cents(t["o_totalprice"]).to_numpy() // coarse_w
-        counts = np.bincount(b)
-        nz = np.flatnonzero(counts)
-        return pa.table({"cbin": pa.array(nz.astype(np.int64)),
-                         "n": pa.array(counts[nz].astype(np.int64))})
+        grp, cents, w = prep(t)
+        b = cents // coarse_w
+        if grp is None and w is None:
+            counts = np.bincount(b)
+            nz = np.flatnonzero(counts)
+            return pa.table({"grp": pa.array([""] * len(nz)),
+                             "cbin": pa.array(nz.astype(np.int64)),
+                             "w": pa.array(counts[nz].astype(np.int64))})
+        df = pd.DataFrame({
+            "grp": grp if grp is not None else "",
+            "cbin": b,
+            "w": w if w is not None else np.ones(len(b), np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["grp", "cbin"], as_index=False)["w"].sum(),
+            preserve_index=False)
 
-    # Combine the block partials on the DRIVER: the table is bounded by
-    # blocks × occupied bins (domain-bounded), so a Ray groupby buys nothing
-    # here and the pandas combine is milliseconds.  (Root-caused while
-    # tuning: it is PANDAS-format partial blocks feeding the sort-based
-    # Aggregate that are pathological — 29 s vs 2.4 s Arrow-format at 27k
-    # groups, measured on identical data — not the group count itself.)
-    # At extreme block counts a tree-combine slots in unchanged.
     hist = (ds.map_batches(coarse_partial, batch_format="pyarrow")
               .to_pandas()
-              .groupby("cbin", as_index=False)["n"].sum()
-              .sort_values("cbin").reset_index(drop=True))
-    n_total = int(hist["n"].sum())
-    cum = hist["n"].cumsum().to_numpy()          # rows at or below each bin
-    start_rank = cum - hist["n"].to_numpy()      # first 0-indexed rank in bin
-
-    quantiles = (0.25, 0.5, 0.75)
-    ranks = sorted({int(np.floor((n_total - 1) * q)) for q in quantiles}
-                   | {int(np.ceil((n_total - 1) * q)) for q in quantiles})
-    bin_of = {r: int(hist["cbin"].iloc[np.searchsorted(cum, r, side="right")])
-              for r in ranks}
-    needed = sorted(set(bin_of.values()))
+              .groupby(["grp", "cbin"], as_index=False)["w"].sum()
+              .sort_values(["grp", "cbin"]))
+    totals = {g: int(tw) for g, tw in hist.groupby("grp")["w"].sum().items()}
+    thresholds = thresholds_of(totals)
+    # (grp, t) -> (coarse bin holding the crossing, cumulative w before it)
+    bin_of: dict[tuple[str, float], tuple[int, int]] = {}
+    for g_, g in hist.groupby("grp"):
+        cumw = g["w"].cumsum().to_numpy()
+        bins = g["cbin"].to_numpy()
+        for t in thresholds.get(g_, []):
+            i = int(np.searchsorted(cumw, t, side="left"))
+            bin_of[(g_, t)] = (int(bins[i]), int(cumw[i] - g["w"].iloc[i]))
+    needed = {(g_, b) for (g_, _), (b, _) in bin_of.items()}
+    needed_bins = sorted({b for _, b in needed})
 
     def fine_partial(t: pa.Table) -> pa.Table:
-        c = _cents(t["o_totalprice"]).to_numpy()
-        mask = np.isin(c // coarse_w, needed)
-        vals, counts = np.unique(c[mask], return_counts=True)
-        return pa.table({"cents": pa.array(vals.astype(np.int64)),
-                         "n": pa.array(counts.astype(np.int64))})
+        grp, cents, w = prep(t)
+        b = cents // coarse_w
+        if grp is None:
+            mask = np.isin(b, needed_bins)
+            if w is None:
+                vals, counts = np.unique(cents[mask], return_counts=True)
+                return pa.table({"grp": pa.array([""] * len(vals)),
+                                 "cents": pa.array(vals.astype(np.int64)),
+                                 "w": pa.array(counts.astype(np.int64))})
+            grp = np.full(len(cents), "", dtype=object)
+        else:
+            mask = np.zeros(len(cents), dtype=bool)
+            for g_, b_ in needed:  # ≤ groups × thresholds vectorized clauses
+                mask |= (grp == g_) & (b == b_)
+        df = pd.DataFrame({"grp": grp[mask], "cents": cents[mask],
+                           "w": (w[mask] if w is not None
+                                 else np.ones(int(mask.sum()), np.int64))})
+        return pa.Table.from_pandas(
+            df.groupby(["grp", "cents"], as_index=False)["w"].sum(),
+            preserve_index=False)
 
     fine = (ds.map_batches(fine_partial, batch_format="pyarrow")
               .to_pandas()
-              .groupby("cents", as_index=False)["n"].sum()
-              .sort_values("cents").reset_index(drop=True))
-    fvals = fine["cents"].to_numpy()
-    fcum_by_bin: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for b in needed:
-        m = (fvals // coarse_w) == b
-        fcum_by_bin[b] = (fvals[m], fine["n"].to_numpy()[m].cumsum())
+              .groupby(["grp", "cents"], as_index=False)["w"].sum()
+              .sort_values(["grp", "cents"]))
+    fgrp = fine["grp"].to_numpy()
+    fbin = fine["cents"].to_numpy() // coarse_w
+    out: dict[tuple[str, float], int] = {}
+    for (g_, t), (b, w_before) in bin_of.items():
+        g = fine[(fgrp == g_) & (fbin == b)]
+        cum = w_before + g["w"].cumsum().to_numpy()
+        j = int(np.searchsorted(cum, t, side="left"))
+        out[(g_, t)] = int(g["cents"].iloc[j])
+    return totals, out
+
+
+def q_orders_percentiles_2pass(sf_dir: str) -> pd.DataFrame:
+    """Exact interpolated p25/p50/p75 of ``o_totalprice`` WITHOUT a global
+    sort — the classic distributed-selection plan (the shared coarse→fine
+    machinery in :func:`_rank_select_cents`; $10 coarse bins).  An
+    unweighted 0-indexed order statistic ``r`` is the weighted-rank
+    threshold ``t = r + 1`` (first value whose running count reaches r+1).
+    Interpolation mirrors SQL ``quantile_cont``: value = x[floor(pos)] +
+    frac·(x[ceil(pos)] − x[floor(pos)]) with pos = (n−1)·q, on float-exact
+    2-decimal dollars."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def prep(t: pa.Table):
+        return None, _cents(t["o_totalprice"]).to_numpy(), None
+
+    quantiles = (0.25, 0.5, 0.75)
+
+    def thresholds_of(totals: dict[str, int]) -> dict[str, list[float]]:
+        n = totals[""]
+        ranks = ({int(np.floor((n - 1) * q)) for q in quantiles}
+                 | {int(np.ceil((n - 1) * q)) for q in quantiles})
+        return {"": sorted(float(r + 1) for r in ranks)}
+
+    totals, sel = _rank_select_cents(ds, prep, thresholds_of)
+    n_total = totals[""]
 
     def value_at(rank: int) -> float:
-        b = bin_of[rank]
-        within = rank - int(start_rank[hist["cbin"].searchsorted(b)])
-        vals, vcum = fcum_by_bin[b]
-        return float(vals[np.searchsorted(vcum, within, side="right")]) / 100.0
+        return sel[("", float(rank + 1))] / 100.0
 
     out = {"n": [n_total]}
     for q, name in zip(quantiles, ("p25", "p50", "p75")):
@@ -1797,63 +1859,22 @@ def q_lineitem_weighted_median(sf_dir: str) -> pd.DataFrame:
     cumulative weight ≥ total/2, computed over per-DISTINCT-price weights so
     tie order cannot matter.  Shuffle traffic: groups × occupied bins, never
     rows."""
-    coarse_w = 1000
     cols = ["l_returnflag", "l_extendedprice", "l_quantity"]
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
 
-    def coarse_partial(b: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame({
-            "l_returnflag": b["l_returnflag"],
-            "cbin": (np.round(b["l_extendedprice"].to_numpy() * 100)
-                     .astype(np.int64) // coarse_w),
-            "w": np.round(b["l_quantity"].to_numpy()).astype(np.int64),
-        })
-        return df.groupby(["l_returnflag", "cbin"], as_index=False)["w"].sum()
+    def prep(t: pa.Table):
+        return (t["l_returnflag"].to_numpy(zero_copy_only=False),
+                _cents(t["l_extendedprice"]).to_numpy(),
+                np.round(t["l_quantity"].to_numpy(zero_copy_only=False))
+                .astype(np.int64))
 
-    # driver-side combine of the block partials (same rationale and
-    # measurement as q_orders_percentiles_2pass: partials are domain-bounded
-    # and the driver combine is milliseconds; NB the 29-s trap there is
-    # pandas-format blocks feeding Aggregate, not group count)
-    hist = (ds.map_batches(coarse_partial, batch_format="pandas")
-              .to_pandas()
-              .groupby(["l_returnflag", "cbin"], as_index=False)["w"].sum()
-              .sort_values(["l_returnflag", "cbin"]))
-    targets: dict[str, tuple[int, int, float]] = {}  # flag -> (bin, w_before, T)
-    for flag, g in hist.groupby("l_returnflag"):
-        tw = int(g["w"].sum())
-        T = tw / 2.0
-        cumw = g["w"].cumsum().to_numpy()
-        # first bin whose cumulative weight reaches T (cumw[-1] = tw ≥ T)
-        i = int(np.searchsorted(cumw, T, side="left"))
-        targets[flag] = (int(g["cbin"].iloc[i]),
-                         int(cumw[i] - g["w"].iloc[i]), tw)
-    needed = {(f, t[0]) for f, t in targets.items()}
+    def thresholds_of(totals: dict[str, int]) -> dict[str, list[float]]:
+        return {flag: [tw / 2.0] for flag, tw in totals.items()}
 
-    def fine_partial(b: pd.DataFrame) -> pd.DataFrame:
-        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        df = pd.DataFrame({
-            "l_returnflag": b["l_returnflag"], "cents": cents,
-            "cbin": cents // coarse_w,
-            "w": np.round(b["l_quantity"].to_numpy()).astype(np.int64),
-        })
-        mask = np.zeros(len(df), dtype=bool)
-        for f, b_ in needed:  # ≤ |groups| clauses, each a vectorized compare
-            mask |= (df["l_returnflag"].to_numpy() == f) & \
-                    (df["cbin"].to_numpy() == b_)
-        df = df[mask]
-        return df.groupby(["l_returnflag", "cents"], as_index=False)["w"].sum()
-
-    fine = (ds.map_batches(fine_partial, batch_format="pandas")
-              .to_pandas()
-              .groupby(["l_returnflag", "cents"], as_index=False)["w"].sum()
-              .sort_values(["l_returnflag", "cents"]))
-    rows = []
-    for flag, (b, w_before, tw) in sorted(targets.items()):
-        g = fine[fine["l_returnflag"] == flag]
-        cum = w_before + g["w"].cumsum().to_numpy()
-        j = int(np.flatnonzero(cum >= tw / 2.0)[0])
-        rows.append({"l_returnflag": flag, "total_qty": tw,
-                     "wmedian_price": float(g["cents"].iloc[j]) / 100.0})
+    totals, sel = _rank_select_cents(ds, prep, thresholds_of)
+    rows = [{"l_returnflag": flag, "total_qty": tw,
+             "wmedian_price": sel[(flag, tw / 2.0)] / 100.0}
+            for flag, tw in sorted(totals.items())]
     return pd.DataFrame(rows)
 
 

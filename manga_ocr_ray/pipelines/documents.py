@@ -10,6 +10,7 @@ kernels are genuinely exercised — not identity on plain text.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -1463,29 +1464,37 @@ GROUP BY l.doc_id
 
 # ---- bigram-LM quality score (CCNet-style perplexity proxy) -----------------
 
-def _bigrams_batch(t: pa.Table) -> pa.Table:
+def _bigrams_batch(t: pa.Table, pair_key: bool = True) -> pa.Table:
     """One batch of documents → (doc_id, prev, cur) adjacent-token pairs
-    (pairs never cross documents; vectorized slice of the explode output)."""
+    (pairs never cross documents; vectorized slice of the explode output).
+
+    ``pair_key=False`` skips the fused pair-string column for consumers that
+    only read (prev, cur) — the concat is a corpus-sized allocation, a full
+    wasted pass when nothing downstream groups on it (review fix r5)."""
     ex = _explode_tokens(t)
     doc_ids = ex["doc_id"].to_numpy()
     if doc_ids.size == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "prev": pa.array([], pa.string()),
-                         "cur": pa.array([], pa.string()),
-                         "pair": pa.array([], pa.string())})
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "prev": pa.array([], pa.string()),
+                "cur": pa.array([], pa.string())}
+        if pair_key:
+            cols["pair"] = pa.array([], pa.string())
+        return pa.table(cols)
     same_doc = doc_ids[1:] == doc_ids[:-1]
     toks = ex["token"].combine_chunks()
     mask = pa.array(same_doc)
     prev = toks.slice(0, len(toks) - 1).filter(mask)
     cur = toks.slice(1).filter(mask)
-    return pa.table({
+    cols = {
         "doc_id": pa.array(doc_ids[:-1][same_doc], pa.int64()),
         "prev": prev,
         "cur": cur,
+    }
+    if pair_key:
         # fused single-string pair key: single-key groupbys/joins take the
         # fast path (multi-key sort-aggregates pay per-key per-block cost)
-        "pair": pc.binary_join_element_wise(prev, cur, "\x00"),
-    })
+        cols["pair"] = pc.binary_join_element_wise(prev, cur, "\x00")
+    return pa.table(cols)
 
 
 def q_doc_bigram_lm(sf_dir: str) -> rd.Dataset:
@@ -1735,7 +1744,8 @@ def q_doc_pmi_pairs(sf_dir: str) -> rd.Dataset:
     from .relational import _join_partitions
 
     pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _bigrams_batch, batch_format="pyarrow").drop_columns(["doc_id"])
+        functools.partial(_bigrams_batch, pair_key=False),
+        batch_format="pyarrow").drop_columns(["doc_id"])
     c2 = pairs.groupby(["prev", "cur"]).aggregate(Count(alias_name="c2"))
     heads = pairs.select_columns(["prev"]).groupby("prev").aggregate(
         Count(alias_name="ch"))
@@ -2234,7 +2244,8 @@ def q_doc_token_triangles(sf_dir: str) -> pd.DataFrame:
     from .relational import _join_partitions
 
     pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _bigrams_batch, batch_format="pyarrow").drop_columns(["doc_id"])
+        functools.partial(_bigrams_batch, pair_key=False),
+        batch_format="pyarrow").drop_columns(["doc_id"])
 
     def orient(t: pa.Table) -> pa.Table:
         p, c = t["prev"].combine_chunks(), t["cur"].combine_chunks()

@@ -205,6 +205,11 @@ def run_extraction(
     therefore invalidates every manifest and triggers a full clean rebuild
     via the crash-window repair below."""
     eff_fp = f"{fingerprint}|nb={num_buckets}"
+    # manifests from a different fingerprint / bucket count are dead weight
+    # AND a resume hazard: after a shrink (nb=8 → nb=4), orphan nb=8
+    # manifests for buckets >= 4 would be read as done by a later nb=8 run,
+    # silently skipping their rows.  Prune them before trusting `done`.
+    mf.prune_stale_manifests(out_dir, eff_fp, filesystem=filesystem)
     done = mf.done_buckets(out_dir, eff_fp, filesystem=filesystem)
     # crash-window repair: a bucket with data files but NO committed manifest
     # (killed between write and commit) must be REWRITTEN, not appended to —

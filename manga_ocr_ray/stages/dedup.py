@@ -458,11 +458,13 @@ def minhash_lsh_pairs(
 
 def pair_rep_map(pairs: pd.DataFrame) -> dict[int, int]:
     """Union-find (path-halving, min-id wins) over a verified pair frame →
-    fully-resolved ``{id: min-rep}`` for every pair-TOUCHED id; untouched ids
-    are implicitly their own rep.  Driver-side by design: the pair set is
-    tiny relative to the corpus.  Shared by :func:`cluster_reps` and
-    :func:`near_dup_cluster_assign` so the two clustering paths cannot
-    diverge."""
+    fully-resolved ``{id: min-rep}``.  NB: cluster ROOTS are omitted from
+    the map (a min-id that never lost a union is not a key), as is every
+    untouched id — both are implicitly their own rep, so consumers must
+    read it as ``reps.get(i, i)``, never ``reps[i]`` (review fix r5).
+    Driver-side by design: the pair set is tiny relative to the corpus.
+    Shared by :func:`cluster_reps` and :func:`near_dup_cluster_assign` so
+    the two clustering paths cannot diverge."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -124,6 +124,42 @@ def done_buckets(out_dir: str, fingerprint: str, *,
     return done
 
 
+def prune_stale_manifests(out_dir: str, fingerprint: str, *,
+                          filesystem=None) -> list[int]:
+    """Delete every manifest whose fingerprint/rule-version does NOT match
+    the current run (plus unreadable ones).  Returns the pruned bucket ids.
+
+    Required for correctness when ``num_buckets`` SHRINKS (review fix r5):
+    a run at nb=4 over an nb=8 layout overwrites manifests 0-3 but would
+    leave 4-7 still claiming ``fp|nb=8`` — a later run back at nb=8 would
+    read those orphans as done and silently skip (= lose) their rows.
+    Stale manifests are dead under the current fingerprint anyway (their
+    data dirs are cleared by the crash-window repair), so removal is safe.
+    """
+    fs_, mdir = resolve_fs(manifest_dir(out_dir), filesystem)
+    pruned: list[int] = []
+    for info in _manifest_infos(fs_, mdir):
+        stale = True
+        try:
+            with fs_.open_input_stream(info.path) as f:
+                m = json.loads(f.read())
+            stale = (m.get("fingerprint") != fingerprint
+                     or m.get("rule_version") != RULE_VERSION)
+        except (json.JSONDecodeError, OSError):
+            pass  # unreadable manifest == stale
+        if stale:
+            try:
+                fs_.delete_file(info.path)
+            except FileNotFoundError:
+                continue
+            try:
+                pruned.append(int(info.base_name.split("=", 1)[1]
+                                  .rsplit(".json", 1)[0]))
+            except ValueError:
+                pass
+    return pruned
+
+
 def read_manifests(out_dir: str, *, filesystem=None) -> list[dict]:
     fs_, mdir = resolve_fs(manifest_dir(out_dir), filesystem)
     out = []

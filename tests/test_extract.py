@@ -131,6 +131,22 @@ def test_extraction_pipeline_ray(ray_session, tmp_path):
     assert res4["skipped_buckets"] == 0
     assert rd.read_parquet(mf.data_dir(out_dir)).count() == t.num_rows
 
+    # SHRINK direction (review fix r5): nb=16 → nb=8 → nb=16 again.  The
+    # shrink run must prune the orphan nb=16 manifests for buckets >= 8;
+    # otherwise the third run reads them as done, skips those buckets, and
+    # silently loses their rows while the repair loop deletes their data.
+    res5 = run_extraction(read_transcripts(str(src)), out_dir,
+                          fingerprint="fp1", num_buckets=8)
+    assert res5["new_rows"] == t.num_rows
+    assert {m["fingerprint"] for m in mf.read_manifests(out_dir)} \
+        == {"fp1|nb=8"}  # no orphan nb=16 manifests survive the shrink
+    res6 = run_extraction(read_transcripts(str(src)), out_dir,
+                          fingerprint="fp1", num_buckets=16)
+    assert res6["skipped_buckets"] == 0
+    assert res6["new_rows"] == t.num_rows
+    assert rd.read_parquet(mf.data_dir(out_dir)).count() == t.num_rows
+    assert sum(m["rows"] for m in mf.read_manifests(out_dir)) == t.num_rows
+
 
 def test_verify_detects_mismatch(ray_session):
     import ray.data as rd
