@@ -1311,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": A.q_events_grouping_sets,
         "transcript_strip_ratio": _q_transcript_strip_ratio,
         "lineitem_weighted_median": A.q_lineitem_weighted_median,
+        "lineitem_weighted_quartiles": A.q_lineitem_weighted_quartiles,
         "doc_length_ks": A.q_doc_length_ks,
         "doc_token_triangles": D.q_doc_token_triangles,
         "source_vocab_jaccard": D.q_source_vocab_jaccard,
@@ -1371,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         "events_grouping_sets": A.Q_EVENTS_GROUPING_SETS_SQL,
         "transcript_strip_ratio": _Q_TRANSCRIPT_STRIP_RATIO_SQL,
         "lineitem_weighted_median": A.Q_LINEITEM_WEIGHTED_MEDIAN_SQL,
+        "lineitem_weighted_quartiles": A.Q_LINEITEM_WEIGHTED_QUARTILES_SQL,
         "doc_length_ks": A.Q_DOC_LENGTH_KS_SQL,
         "doc_token_triangles": D.q_doc_token_triangles_sql(),
         "source_vocab_jaccard": D.Q_SOURCE_VOCAB_JACCARD_SQL,

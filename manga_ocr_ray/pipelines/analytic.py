@@ -1892,6 +1892,53 @@ FROM c GROUP BY l_returnflag
 """
 
 
+def q_lineitem_weighted_quartiles(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted p25/p50/p75 of ``l_extendedprice`` per returnflag —
+    the grouped × multi-threshold case of :func:`_rank_select_cents` (three
+    weighted-rank thresholds q·total per group resolve in the SAME two
+    passes; the weighted median above is the single-threshold special case).
+    Definition (mirrored in the oracle): the smallest price whose cumulative
+    weight ≥ q·total over per-DISTINCT-price weights — the lower weighted
+    quantile, no interpolation, so tie order cannot matter."""
+    cols = ["l_returnflag", "l_extendedprice", "l_quantity"]
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
+    quantiles = (0.25, 0.50, 0.75)
+
+    def prep(t: pa.Table):
+        return (t["l_returnflag"].to_numpy(zero_copy_only=False),
+                _cents(t["l_extendedprice"]).to_numpy(),
+                np.round(t["l_quantity"].to_numpy(zero_copy_only=False))
+                .astype(np.int64))
+
+    def thresholds_of(totals: dict[str, int]) -> dict[str, list[float]]:
+        return {flag: [tw * q for q in quantiles]
+                for flag, tw in totals.items()}
+
+    totals, sel = _rank_select_cents(ds, prep, thresholds_of)
+    rows = [{"l_returnflag": flag, "total_qty": tw,
+             "wp25": sel[(flag, tw * 0.25)] / 100.0,
+             "wp50": sel[(flag, tw * 0.50)] / 100.0,
+             "wp75": sel[(flag, tw * 0.75)] / 100.0}
+            for flag, tw in sorted(totals.items())]
+    return pd.DataFrame(rows)
+
+
+Q_LINEITEM_WEIGHTED_QUARTILES_SQL = """
+WITH g AS (SELECT l_returnflag, l_extendedprice AS p,
+                  sum(CAST(round(l_quantity) AS BIGINT)) AS w
+           FROM lineitem GROUP BY 1, 2),
+c AS (SELECT l_returnflag, p,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY p) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g)
+SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS total_qty,
+       min(p) FILTER (WHERE cw >= tw * 0.25) AS wp25,
+       min(p) FILTER (WHERE cw >= tw * 0.50) AS wp50,
+       min(p) FILTER (WHERE cw >= tw * 0.75) AS wp75
+FROM c GROUP BY l_returnflag
+"""
+
+
 # ---- Kolmogorov-Smirnov distribution drift between corpus slices --------------
 
 def q_doc_length_ks(sf_dir: str) -> pd.DataFrame:

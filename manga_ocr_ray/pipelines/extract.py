@@ -233,8 +233,6 @@ def run_extraction(
     # per-bucket lineage metrics: tiny groupby over the NEW buckets only —
     # a resume run must not re-scan the 63/64 already-committed partitions
     # whose stats it would discard anyway
-    from ray.data.aggregate import Count, Sum
-
     elapsed = time.perf_counter() - t0
     fs_, _ = mf.resolve_fs(mf.data_dir(out_dir), filesystem)
     new_files: list[str] = []
@@ -245,24 +243,33 @@ def run_extraction(
             mf.list_bucket_files(out_dir, bpath, filesystem=filesystem))
     new_recs: list[dict] = []
     if new_files:
-        def tag_bucket(t: pa.Table) -> pa.Table:
+        def bucket_partial(t: pa.Table) -> pa.Table:
             # rsplit: anchor to the LAST 'bucket=' segment — the out_dir
             # itself may contain one (e.g. s3://corp/bucket=west/extracted)
             b = [int(p.rsplit("bucket=", 1)[1].split("/", 1)[0])
                  for p in t["path"].to_pylist()]
-            return (t.drop_columns(["path"])
-                    .append_column("bucket", pa.array(b, pa.int64())))
+            tb = pa.table({"bucket": pa.array(b, pa.int64()),
+                           "raw_chars": t["raw_chars"],
+                           "extracted_chars": t["extracted_chars"]})
+            g = pa.TableGroupBy(tb, "bucket").aggregate(
+                [("bucket", "count"), ("raw_chars", "sum"),
+                 ("extracted_chars", "sum")])
+            return pa.table({"bucket": g["bucket"],
+                             "rows": pc.cast(g["bucket_count"], pa.int64()),
+                             "raw_chars": g["raw_chars_sum"],
+                             "extracted_chars": g["extracted_chars_sum"]})
 
+        # block-local Arrow partials + driver combine: the table is bounded
+        # by num_buckets × blocks (manifest-sized), so an all-to-all
+        # Aggregate buys nothing here and its empty hash partitions emit
+        # schema-mismatch warnings in the flagship path
         stats = (
             rd.read_parquet(new_files,
                             columns=["raw_chars", "extracted_chars"],
                             include_paths=True, filesystem=fs_)
-            .map_batches(tag_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .aggregate(Count(alias_name="rows"),
-                       Sum("raw_chars", alias_name="raw_chars"),
-                       Sum("extracted_chars", alias_name="extracted_chars"))
+            .map_batches(bucket_partial, batch_format="pyarrow")
             .to_pandas()
+            .groupby("bucket", as_index=False).sum()
         )
         new_recs = stats.to_dict("records")
     new_rows = sum(int(r["rows"]) for r in new_recs)

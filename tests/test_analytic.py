@@ -525,6 +525,26 @@ def test_weighted_median_matches_direct(ray_session):
         assert got.loc[flag, "total_qty"] == cw[-1]
 
 
+def test_weighted_quartiles_match_direct(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_lineitem_weighted_quartiles
+
+    got = q_lineitem_weighted_quartiles(SF_DIR).set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("l_extendedprice")
+        w = np.round(g["l_quantity"].to_numpy()).astype(np.int64)
+        cw = w.cumsum()
+        prices = g["l_extendedprice"].to_numpy()
+        for q, col in ((0.25, "wp25"), (0.50, "wp50"), (0.75, "wp75")):
+            want = prices[np.flatnonzero(cw >= cw[-1] * q)[0]]
+            assert got.loc[flag, col] == pytest.approx(want, abs=1e-9)
+        # the grouped multi-threshold path agrees with the single-threshold
+        # weighted median at q=0.5 by construction
+        assert got.loc[flag, "total_qty"] == cw[-1]
+        assert got.loc[flag, "wp25"] <= got.loc[flag, "wp50"] <= got.loc[flag, "wp75"]
+
+
 def test_ks_statistic_matches_direct_ecdf(ray_session):
     from manga_ocr_ray.pipelines.analytic import q_doc_length_ks
 
