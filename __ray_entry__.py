@@ -1312,6 +1312,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_strip_ratio": _q_transcript_strip_ratio,
         "lineitem_weighted_median": A.q_lineitem_weighted_median,
         "lineitem_weighted_quartiles": A.q_lineitem_weighted_quartiles,
+        "events_type_dow_chi2": A.q_events_type_dow_chi2,
+        "doc_source_concentration": D.q_doc_source_concentration,
+        "lineitem_winsorized_mean": A.q_lineitem_winsorized_mean,
+        "events_top3_per_user": A.q_events_top3_per_user,
         "doc_length_ks": A.q_doc_length_ks,
         "doc_token_triangles": D.q_doc_token_triangles,
         "source_vocab_jaccard": D.q_source_vocab_jaccard,
@@ -1373,6 +1377,10 @@ def oracle_sql() -> dict[str, str]:
         "transcript_strip_ratio": _Q_TRANSCRIPT_STRIP_RATIO_SQL,
         "lineitem_weighted_median": A.Q_LINEITEM_WEIGHTED_MEDIAN_SQL,
         "lineitem_weighted_quartiles": A.Q_LINEITEM_WEIGHTED_QUARTILES_SQL,
+        "events_type_dow_chi2": A.Q_EVENTS_TYPE_DOW_CHI2_SQL,
+        "doc_source_concentration": D.Q_DOC_SOURCE_CONCENTRATION_SQL,
+        "lineitem_winsorized_mean": A.Q_LINEITEM_WINSORIZED_MEAN_SQL,
+        "events_top3_per_user": A.Q_EVENTS_TOP3_PER_USER_SQL,
         "doc_length_ks": A.Q_DOC_LENGTH_KS_SQL,
         "doc_token_triangles": D.q_doc_token_triangles_sql(),
         "source_vocab_jaccard": D.Q_SOURCE_VOCAB_JACCARD_SQL,

@@ -1810,6 +1810,56 @@ FROM c JOIN mx USING (event_type) JOIN my USING (hr) CROSS JOIN tot
 """
 
 
+def q_events_type_dow_chi2(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square independence statistic between event type and
+    day-of-week — the categorical-drift sibling of the MI audit above, with
+    the same one-shuffle plan: the corpus reduces to ONE combining groupby
+    over (type, dow) and the driver finishes Σ (n−e)²/e over the
+    |types|×7-bounded contingency with expected counts e = nx·ny/N derived
+    from its own marginals.  Unlike MI, empty cells contribute e (the full
+    |types|×7 grid matters), so the driver densifies via a pivot — still
+    dimension-bounded."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "dow": pc.cast(pc.add(pc.day_of_week(t["ts"]),
+                                               pa.scalar(1)), pa.int64())})
+
+    c = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby(["event_type", "dow"]).aggregate(Count(alias_name="n"))
+           .to_pandas())
+    grid = (c.pivot_table(index="event_type", columns="dow", values="n",
+                          aggfunc="sum", fill_value=0)
+            .reindex(columns=range(1, 8), fill_value=0)
+            .to_numpy(dtype=np.float64))
+    total = grid.sum()
+    expected = np.outer(grid.sum(axis=1), grid.sum(axis=0)) / total
+    chi2 = float(((grid - expected) ** 2 / expected).sum())
+    dof = (grid.shape[0] - 1) * (grid.shape[1] - 1)
+    return pd.DataFrame({"n_events": [int(total)], "chi2": [chi2],
+                         "dof": [dof]})
+
+
+Q_EVENTS_TYPE_DOW_CHI2_SQL = """
+WITH c AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM events GROUP BY 1, 2),
+grid AS (SELECT t.event_type, d.dow, coalesce(c.n, 0) AS n
+         FROM (SELECT DISTINCT event_type FROM c) t
+         CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS dow) d
+         LEFT JOIN c ON c.event_type = t.event_type AND c.dow = d.dow),
+tot AS (SELECT sum(n) AS t FROM grid),
+mx AS (SELECT event_type, sum(n) AS nx FROM grid GROUP BY 1),
+my AS (SELECT dow, sum(n) AS ny FROM grid GROUP BY 1)
+SELECT CAST(min(tot.t) AS BIGINT) AS n_events,
+       sum(pow(grid.n - mx.nx * my.ny / tot.t, 2)
+           / (mx.nx * my.ny / tot.t)) AS chi2,
+       CAST((count(DISTINCT grid.event_type) - 1) * 6 AS BIGINT) AS dof
+FROM grid JOIN mx USING (event_type) JOIN my USING (dow) CROSS JOIN tot
+"""
+
+
 # ---- GROUPING SETS (the rollup/cube generalization) ---------------------------
 
 def q_events_grouping_sets(sf_dir: str) -> pd.DataFrame:
@@ -1936,6 +1986,95 @@ SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS total_qty,
        min(p) FILTER (WHERE cw >= tw * 0.50) AS wp50,
        min(p) FILTER (WHERE cw >= tw * 0.75) AS wp75
 FROM c GROUP BY l_returnflag
+"""
+
+
+def q_lineitem_winsorized_mean(sf_dir: str) -> pd.DataFrame:
+    """p5/p95-winsorized mean of ``l_extendedprice`` — the robust-mean
+    audit (clip every value to the percentile fences, then average) that
+    tames heavy-tailed metrics before trend comparison.  Composition: the
+    shared two-pass rank selection locates the exact cent fences (lower
+    quantile: smallest value whose cumulative count ≥ ⌈q·n⌉), then ONE more
+    streaming pass clips to [lo, hi] and sums exact int64 cents.  Three
+    corpus passes total, no sort, no shuffle; the mean finalizes as
+    (exact cents)/100.0/n — bit-identical to the oracle's DECIMAL sum."""
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_extendedprice"])
+
+    def prep(t: pa.Table):
+        return None, _cents(t["l_extendedprice"]).to_numpy(), None
+
+    def thresholds_of(totals: dict[str, int]) -> dict[str, list[float]]:
+        n = totals[""]
+        return {"": [float(np.ceil(n * 0.05)), float(np.ceil(n * 0.95))]}
+
+    totals, sel = _rank_select_cents(ds, prep, thresholds_of)
+    n = totals[""]
+    lo = sel[("", float(np.ceil(n * 0.05)))]
+    hi = sel[("", float(np.ceil(n * 0.95)))]
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        c = np.clip(_cents(t["l_extendedprice"]).to_numpy(), lo, hi)
+        return pa.table({"s": pa.array([int(c.sum())], pa.int64()),
+                         "k": pa.array([len(c)], pa.int64())})
+
+    part = ds.map_batches(clip_partial, batch_format="pyarrow").to_pandas()
+    total_cents = int(part["s"].sum())
+    assert int(part["k"].sum()) == n
+    return pd.DataFrame({"n": [n], "p5": [lo / 100.0], "p95": [hi / 100.0],
+                         "wmean": [total_cents / 100.0 / n]})
+
+
+Q_LINEITEM_WINSORIZED_MEAN_SQL = """
+WITH c AS (SELECT l_extendedprice AS p, count(*) AS w FROM lineitem GROUP BY 1),
+cc AS (SELECT p, sum(w) OVER (ORDER BY p) AS cw, sum(w) OVER () AS tw FROM c),
+f AS (SELECT min(p) FILTER (WHERE cw >= ceil(tw * 0.05)) AS lo,
+             min(p) FILTER (WHERE cw >= ceil(tw * 0.95)) AS hi FROM cc)
+SELECT CAST(count(*) AS BIGINT) AS n, min(f.lo) AS p5, min(f.hi) AS p95,
+       CAST(sum(CAST(least(greatest(l_extendedprice, f.lo), f.hi)
+                     AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS wmean
+FROM lineitem CROSS JOIN f
+"""
+
+
+def q_events_top3_per_user(sf_dir: str) -> rd.Dataset:
+    """Top-3 events per user by value — the generic per-key top-k selection
+    (leaderboards, best-of-N example retrieval).  Scale shape: a block-local
+    combiner keeps each block's own top-3 per user, so the exchange carries
+    ≤ 3 rows per (user, block) — never the corpus; the finish groups by
+    hash(user) SHARD (per-entity ``map_groups`` would pay Ray's per-group
+    overhead × user count) and ranks each shard's users in one vectorized
+    pandas pass.  Deterministic total order: value DESC, event_id ASC
+    (event_id is unique), mirrored by the oracle's ``row_number``."""
+    from .relational import _shard_by_int
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_id", "value"])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["value", "event_id"],
+                                       ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.groupby("user_id", sort=False).head(3), preserve_index=False)
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True])
+        top = g.groupby("user_id", sort=False).head(3).copy()
+        top["rnk"] = (top.groupby("user_id", sort=False).cumcount()
+                      + 1).astype(np.int64)
+        return top[["user_id", "event_id", "value", "rnk"]]
+
+    return (_shard_by_int(ds.map_batches(block_topk, batch_format="pyarrow"),
+                          "user_id")
+            .groupby("shard").map_groups(shard_topk, batch_format="pandas"))
+
+
+Q_EVENTS_TOP3_PER_USER_SQL = """
+SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3
 """
 
 

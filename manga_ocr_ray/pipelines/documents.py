@@ -2149,6 +2149,43 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_doc_source_concentration(sf_dir: str) -> pd.DataFrame:
+    """Source-mix concentration audit: Herfindahl–Hirschman index Σ shareᵢ²,
+    normalized Shannon entropy −Σ sᵢ·ln sᵢ / ln k, and the largest single
+    source's share — the one-row dashboard a training-mix pipeline checks
+    before/after the per-source cap above (is one crawl host dominating?).
+    ONE combining groupby over the handful of sources; the driver finishes
+    on the source-bounded table."""
+    ds = _docs(sf_dir, ["source"])
+    c = (ds.groupby("source").aggregate(Count(alias_name="n")).to_pandas())
+    n = c["n"].to_numpy(dtype=np.float64)
+    s = n / n.sum()
+    k = len(s)
+    entropy_norm = float(-(s * np.log(s)).sum() / np.log(k)) if k > 1 else 0.0
+    return pd.DataFrame({
+        "n_docs": [int(n.sum())],
+        "n_sources": [k],
+        "hhi": [float((s ** 2).sum())],
+        "top_share": [float(s.max())],
+        "entropy_norm": [entropy_norm],
+    })
+
+
+Q_DOC_SOURCE_CONCENTRATION_SQL = """
+WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY 1),
+tot AS (SELECT sum(n) AS t, count(*) AS k FROM c)
+SELECT CAST(min(tot.t) AS BIGINT) AS n_docs,
+       CAST(min(tot.k) AS BIGINT) AS n_sources,
+       sum(pow(c.n / tot.t, 2)) AS hhi,
+       max(c.n / tot.t) AS top_share,
+       CASE WHEN min(tot.k) > 1
+            THEN -sum(c.n / tot.t * ln(c.n / tot.t)) / ln(min(tot.k))
+            ELSE 0.0 END AS entropy_norm
+FROM c CROSS JOIN tot
+"""
+
+
 # ---- Zipf-law exponent of the token distribution ------------------------------
 
 def q_doc_zipf_slope(sf_dir: str, top_n: int = 100) -> pd.DataFrame:

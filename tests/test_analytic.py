@@ -439,6 +439,77 @@ def test_mutual_info_direct_and_nonnegative(ray_session):
     assert got["mi_nats"].iloc[0] >= -1e-12  # MI is non-negative
 
 
+def test_chi2_matches_direct_contingency(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_type_dow_chi2
+
+    got = q_events_type_dow_chi2(SF_DIR)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "ts"])
+    grid = (ev.assign(dow=ev["ts"].dt.dayofweek + 1)
+              .groupby(["event_type", "dow"]).size().unstack(fill_value=0)
+              .reindex(columns=range(1, 8), fill_value=0)
+              .to_numpy(dtype=np.float64))
+    total = grid.sum()
+    e = np.outer(grid.sum(axis=1), grid.sum(axis=0)) / total
+    want = ((grid - e) ** 2 / e).sum()
+    assert got["n_events"].iloc[0] == int(total)
+    assert got["chi2"].iloc[0] == pytest.approx(want, abs=1e-9)
+    assert got["dof"].iloc[0] == (grid.shape[0] - 1) * 6
+    assert got["chi2"].iloc[0] >= 0.0
+
+
+def test_source_concentration_matches_direct(ray_session):
+    from manga_ocr_ray.pipelines.documents import q_doc_source_concentration
+
+    got = q_doc_source_concentration(SF_DIR)
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["source"])
+    s = d["source"].value_counts(normalize=True).to_numpy(dtype=np.float64)
+    assert got["n_docs"].iloc[0] == len(d)
+    assert got["n_sources"].iloc[0] == len(s)
+    assert got["hhi"].iloc[0] == pytest.approx((s ** 2).sum(), abs=1e-12)
+    assert got["top_share"].iloc[0] == pytest.approx(s.max(), abs=1e-12)
+    want_h = -(s * np.log(s)).sum() / np.log(len(s))
+    assert got["entropy_norm"].iloc[0] == pytest.approx(want_h, abs=1e-12)
+    # concentration bounds: 1/k <= hhi <= 1, 0 <= normalized entropy <= 1
+    assert 1.0 / len(s) - 1e-12 <= got["hhi"].iloc[0] <= 1.0 + 1e-12
+    assert -1e-12 <= got["entropy_norm"].iloc[0] <= 1.0 + 1e-12
+
+
+def test_winsorized_mean_matches_direct(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_lineitem_winsorized_mean
+
+    got = q_lineitem_winsorized_mean(SF_DIR)
+    p = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_extendedprice"])["l_extendedprice"]
+    cents = np.sort(np.round(p.to_numpy() * 100).astype(np.int64))
+    n = len(cents)
+    lo = cents[int(np.ceil(n * 0.05)) - 1]   # smallest with cum count >= ceil
+    hi = cents[int(np.ceil(n * 0.95)) - 1]
+    want = np.clip(cents, lo, hi).sum() / 100.0 / n
+    assert got["n"].iloc[0] == n
+    assert got["p5"].iloc[0] == pytest.approx(lo / 100.0, abs=1e-9)
+    assert got["p95"].iloc[0] == pytest.approx(hi / 100.0, abs=1e-9)
+    assert got["wmean"].iloc[0] == pytest.approx(want, abs=1e-9)
+    assert got["p5"].iloc[0] <= got["wmean"].iloc[0] <= got["p95"].iloc[0]
+
+
+def test_top3_per_user_matches_pandas_rank(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_top3_per_user
+
+    got = (q_events_top3_per_user(SF_DIR).to_pandas()
+           .sort_values(["user_id", "rnk"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    want = ev.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True])
+    want = want.groupby("user_id", sort=False).head(3).copy()
+    want["rnk"] = (want.groupby("user_id", sort=False).cumcount() + 1)
+    want = want.sort_values(["user_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "value", "rnk"]].astype({"rnk": "int64"}),
+        want[["user_id", "event_id", "value", "rnk"]].astype({"rnk": "int64"}))
+    assert (got.groupby("user_id").size() <= 3).all()
+
+
 def test_role_transitions_match_pandas_lead(ray_session):
     import __ray_entry__ as E
 
