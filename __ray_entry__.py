@@ -1316,6 +1316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_concentration": D.q_doc_source_concentration,
         "lineitem_winsorized_mean": A.q_lineitem_winsorized_mean,
         "events_top3_per_user": A.q_events_top3_per_user,
+        "lineitem_corr_matrix": A.q_lineitem_corr_matrix,
+        "events_user_skew": A.q_events_user_skew,
         "doc_length_ks": A.q_doc_length_ks,
         "doc_token_triangles": D.q_doc_token_triangles,
         "source_vocab_jaccard": D.q_source_vocab_jaccard,
@@ -1381,6 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_concentration": D.Q_DOC_SOURCE_CONCENTRATION_SQL,
         "lineitem_winsorized_mean": A.Q_LINEITEM_WINSORIZED_MEAN_SQL,
         "events_top3_per_user": A.Q_EVENTS_TOP3_PER_USER_SQL,
+        "lineitem_corr_matrix": A.Q_LINEITEM_CORR_MATRIX_SQL,
+        "events_user_skew": A.Q_EVENTS_USER_SKEW_SQL,
         "doc_length_ks": A.Q_DOC_LENGTH_KS_SQL,
         "doc_token_triangles": D.q_doc_token_triangles_sql(),
         "source_vocab_jaccard": D.Q_SOURCE_VOCAB_JACCARD_SQL,

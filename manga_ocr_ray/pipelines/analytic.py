@@ -336,6 +336,129 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Full pairwise Pearson correlation matrix over the four lineitem
+    measures (quantity, extendedprice, discount, tax) — the
+    feature-redundancy audit run before fitting anything on tabular
+    features.  Same two-pass cancellation-free plan as q_lineitem_corr,
+    but ALL six pairs share the two passes: pass 1 reduces each block to
+    exact int64-cent sums (one row per block, driver-combined), pass 2
+    accumulates the ten centered products in float64.  Driver state is
+    O(blocks × 10) cells; no shuffle at all."""
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    NAMES = ["qty", "price", "disc", "tax"]
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=COLS)
+
+    def sums_partial(t: pa.Table) -> pa.Table:
+        out = {"n": pa.array([t.num_rows], pa.int64())}
+        for c, nm in zip(COLS, NAMES):
+            out["s_" + nm] = pa.array(
+                [int(pc.sum(_cents(t[c])).as_py() or 0)], pa.int64())
+        return pa.table(out)
+
+    s = ds.map_batches(sums_partial, batch_format="pyarrow").to_pandas().sum()
+    n = int(s["n"])
+    means = {nm: float(s["s_" + nm]) / 100.0 / n for nm in NAMES}
+
+    def centered_partial(t: pa.Table) -> pa.Table:
+        d = {nm: t[c].to_numpy(zero_copy_only=False) - means[nm]
+             for c, nm in zip(COLS, NAMES)}
+        out = {}
+        for i, a in enumerate(NAMES):
+            for b in NAMES[i:]:
+                out[f"s_{a}_{b}"] = pa.array([float((d[a] * d[b]).sum())])
+        return pa.table(out)
+
+    m = ds.map_batches(centered_partial, batch_format="pyarrow") \
+          .to_pandas().sum()
+    out: dict[str, list] = {"n": [n]}
+    for i, a in enumerate(NAMES):
+        for b in NAMES[i + 1:]:
+            out[f"corr_{a}_{b}"] = [
+                float(m[f"s_{a}_{b}"]
+                      / np.sqrt(m[f"s_{a}_{a}"] * m[f"s_{b}_{b}"]))]
+    return pd.DataFrame(out)
+
+
+Q_LINEITEM_CORR_MATRIX_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       corr(l_quantity, l_extendedprice) AS corr_qty_price,
+       corr(l_quantity, l_discount) AS corr_qty_disc,
+       corr(l_quantity, l_tax) AS corr_qty_tax,
+       corr(l_extendedprice, l_discount) AS corr_price_disc,
+       corr(l_extendedprice, l_tax) AS corr_price_tax,
+       corr(l_discount, l_tax) AS corr_disc_tax
+FROM lineitem
+"""
+
+
+def q_events_user_skew(sf_dir: str) -> pd.DataFrame:
+    """Activity-skew audit over per-user event counts: median and p99
+    events-per-user plus the share of all events held by the busiest 1% of
+    users — the hot-key report read before choosing a partitioning/salting
+    strategy.  Plan: ONE distributed groupby to per-user counts, then each
+    block reduces to a count-of-counts histogram (domain-bounded by the max
+    events any user has, never by the user count) and the driver finishes
+    percentiles and the top-share from the histogram.  The boundary users
+    at the 1% cut all hold the SAME count value, so the share is exact
+    without ranking individual users."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+    per_user = ds.groupby("user_id").aggregate(Count(alias_name="cnt"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(t["cnt"].to_numpy(), return_counts=True)
+        return pa.table({"cnt": pa.array(vals.astype(np.int64)),
+                         "u": pa.array(counts.astype(np.int64))})
+
+    h = (per_user.map_batches(hist_partial, batch_format="pyarrow")
+         .to_pandas().groupby("cnt", as_index=False)["u"].sum()
+         .sort_values("cnt").reset_index(drop=True))
+    cnt = h["cnt"].to_numpy()
+    u = h["u"].to_numpy()
+    k = int(u.sum())
+    n_events = int((cnt * u).sum())
+    cu = u.cumsum()
+    median = int(cnt[np.searchsorted(cu, np.ceil(0.5 * k), side="left")])
+    p99 = int(cnt[np.searchsorted(cu, np.ceil(0.99 * k), side="left")])
+    # busiest-1% share from the DESCENDING histogram cumulative
+    k1 = np.ceil(0.01 * k)
+    cu_d = u[::-1].cumsum()
+    ce_d = (cnt[::-1] * u[::-1]).cumsum()
+    r = int(np.searchsorted(cu_d, k1, side="left"))
+    users_above = int(cu_d[r] - u[::-1][r])
+    events_above = int(ce_d[r] - cnt[::-1][r] * u[::-1][r])
+    share = (events_above + (k1 - users_above) * cnt[::-1][r]) / n_events
+    return pd.DataFrame({"n_events": [n_events], "n_users": [k],
+                         "median_per_user": [median], "p99_per_user": [p99],
+                         "top1pct_share": [float(share)]})
+
+
+Q_EVENTS_USER_SKEW_SQL = """
+WITH uc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+h AS (SELECT cnt, CAST(count(*) AS BIGINT) AS u FROM uc GROUP BY 1),
+c AS (SELECT cnt, u,
+             sum(u) OVER (ORDER BY cnt) AS cu,
+             sum(u) OVER () AS k,
+             sum(cnt * u) OVER () AS n FROM h),
+d AS (SELECT cnt, u,
+             sum(u) OVER (ORDER BY cnt DESC) AS cu_d,
+             sum(cnt * u) OVER (ORDER BY cnt DESC) AS ce_d,
+             sum(u) OVER () AS k FROM h),
+sel AS (SELECT cnt, u, cu_d, ce_d, k FROM d
+        WHERE cu_d >= ceil(0.01 * k) ORDER BY cnt DESC LIMIT 1)
+SELECT CAST(min(c.n) AS BIGINT) AS n_events,
+       CAST(min(c.k) AS BIGINT) AS n_users,
+       CAST(min(c.cnt) FILTER (WHERE c.cu >= ceil(0.5 * c.k)) AS BIGINT)
+         AS median_per_user,
+       CAST(min(c.cnt) FILTER (WHERE c.cu >= ceil(0.99 * c.k)) AS BIGINT)
+         AS p99_per_user,
+       (min(sel.ce_d) - min(sel.cnt) * min(sel.u)
+        + (ceil(0.01 * min(sel.k)) - (min(sel.cu_d) - min(sel.u)))
+          * min(sel.cnt)) / min(c.n) AS top1pct_share
+FROM c CROSS JOIN sel
+"""
+
+
 # ---- INTERSECT ---------------------------------------------------------------
 
 def q_nations_intersect(sf_dir: str) -> rd.Dataset:

@@ -492,6 +492,38 @@ def test_winsorized_mean_matches_direct(ray_session):
     assert got["p5"].iloc[0] <= got["wmean"].iloc[0] <= got["p95"].iloc[0]
 
 
+def test_corr_matrix_matches_numpy(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_lineitem_corr_matrix
+
+    got = q_lineitem_corr_matrix(SF_DIR)
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount", "l_tax"])
+    want = np.corrcoef(li.to_numpy(dtype=np.float64), rowvar=False)
+    names = ["qty", "price", "disc", "tax"]
+    assert got["n"].iloc[0] == len(li)
+    for i, a in enumerate(names):
+        for j in range(i + 1, 4):
+            assert got[f"corr_{a}_{names[j]}"].iloc[0] == pytest.approx(
+                want[i, j], abs=1e-10)
+
+
+def test_user_skew_matches_direct_ranking(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_user_skew
+
+    got = q_events_user_skew(SF_DIR)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    counts = np.sort(ev["user_id"].value_counts().to_numpy())
+    k, n = len(counts), counts.sum()
+    assert got["n_users"].iloc[0] == k and got["n_events"].iloc[0] == n
+    assert got["median_per_user"].iloc[0] == counts[int(np.ceil(0.5 * k)) - 1]
+    assert got["p99_per_user"].iloc[0] == counts[int(np.ceil(0.99 * k)) - 1]
+    k1 = int(np.ceil(0.01 * k))
+    want_share = counts[::-1][:k1].sum() / n  # ties hold equal counts
+    assert got["top1pct_share"].iloc[0] == pytest.approx(want_share, abs=1e-12)
+    assert got["top1pct_share"].iloc[0] >= k1 / k - 1e-12  # skew >= uniform
+
+
 def test_top3_per_user_matches_pandas_rank(ray_session):
     from manga_ocr_ray.pipelines.analytic import q_events_top3_per_user
 
