@@ -1632,63 +1632,73 @@ def q_lineitem_skew_kurt(sf_dir: str) -> rd.Dataset:
     Centering before raising to powers kills the catastrophic cancellation a
     raw-moment plan (E[x³] − 3E[x]E[x²] + …) suffers at 1e5-magnitude values,
     so the result agrees with DuckDB's streaming implementation to ~1e-12.
-    Scale shape: two streaming corpus passes; the only shuffles move
-    group-count-sized moment partials (same plan as q_lineitem_corr above).
-    Reference anchor: eval-metric rollups, manga_ocr training/metrics.py:54-81."""
+    Scale shape: two streaming corpus passes with NO shuffle at all — each
+    block reduces to one row per group present (dictionary-encode +
+    bincount; group count is bounded), and the groups × blocks partials
+    combine on the driver (perf fix r5: the original plan pushed the raw
+    (flag, cents) rows through a corpus-sized Aggregate and looked means up
+    via a per-row ``Series.map`` inside an 8-actor pool — 6.6 s → ~1 s at
+    sf0.1).  Reference anchor: eval-metric rollups,
+    manga_ocr training/metrics.py:54-81."""
     cols = ["l_returnflag", "l_extendedprice"]
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
 
+    def enc_codes(t: pa.Table) -> tuple[np.ndarray, list[str]]:
+        enc = pc.dictionary_encode(t["l_returnflag"].combine_chunks())
+        return (enc.indices.to_numpy(zero_copy_only=False),
+                enc.dictionary.to_pylist())
+
     def cents_partial(t: pa.Table) -> pa.Table:
-        return pa.table({"l_returnflag": t["l_returnflag"],
-                         "price_c": _cents(t["l_extendedprice"])})
+        codes, vocab = enc_codes(t)
+        k = len(vocab)
+        cents = _cents(t["l_extendedprice"]).to_numpy().astype(np.float64)
+        # float64 bincount sums of integral cents stay exact below 2^53 —
+        # far above any single block's total
+        return pa.table({
+            "l_returnflag": pa.array(vocab, pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+            "sp": pa.array(np.bincount(codes, weights=cents, minlength=k)
+                           .astype(np.int64)),
+        })
 
     sums = (ds.map_batches(cents_partial, batch_format="pyarrow")
-              .groupby("l_returnflag")
-              .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="sp"))
-              .to_pandas())
-    stats = {row.l_returnflag: (row.sp / row.n / 100.0, row.n)
+              .to_pandas()
+              .groupby("l_returnflag", as_index=False).sum())
+    stats = {row.l_returnflag: (row.sp / row.n / 100.0, int(row.n))
              for row in sums.itertuples()}
-    means_ref = ray.put({k: v[0] for k, v in stats.items()})
+    means = {k: v[0] for k, v in stats.items()}
 
-    class CenteredPowerPartials:
-        def __init__(self, ref):
-            self.mean = ray.get(ref)
+    def centered_powers(t: pa.Table) -> pa.Table:
+        codes, vocab = enc_codes(t)
+        k = len(vocab)
+        mu = np.asarray([means[v] for v in vocab], np.float64)[codes]
+        dx = t["l_extendedprice"].combine_chunks().to_numpy() - mu
+        d2 = dx * dx
+        return pa.table({
+            "l_returnflag": pa.array(vocab, pa.string()),
+            "m2": pa.array(np.bincount(codes, weights=d2, minlength=k)),
+            "m3": pa.array(np.bincount(codes, weights=d2 * dx, minlength=k)),
+            "m4": pa.array(np.bincount(codes, weights=d2 * d2, minlength=k)),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            flags = t["l_returnflag"].combine_chunks()
-            mu = pd.Series(flags.to_numpy(zero_copy_only=False)) \
-                .map(self.mean).to_numpy()
-            dx = t["l_extendedprice"].combine_chunks().to_numpy() - mu
-            d2 = dx * dx
-            df = pd.DataFrame({"l_returnflag": flags.to_pandas(),
-                               "m2": d2, "m3": d2 * dx, "m4": d2 * d2}) \
-                .groupby("l_returnflag", as_index=False).sum()
-            # Arrow out: pandas partial blocks feeding Aggregate hit a slow
-            # path and trip streaming-executor schema-mismatch warnings
-            return pa.Table.from_pandas(df, preserve_index=False)
-
-    agg = (ds.map_batches(CenteredPowerPartials, fn_constructor_args=(means_ref,),
-                          batch_format="pyarrow", concurrency=(1, 8))
-             .groupby("l_returnflag")
-             .aggregate(Sum("m2", alias_name="m2"), Sum("m3", alias_name="m3"),
-                        Sum("m4", alias_name="m4")))
-
-    def finish(t: pa.Table) -> pa.Table:
-        flags = t["l_returnflag"].combine_chunks().to_pylist()
-        n = np.array([stats[f][1] for f in flags], dtype=np.float64)
-        m2 = t["m2"].combine_chunks().to_numpy()
-        m3 = t["m3"].combine_chunks().to_numpy()
-        m4 = t["m4"].combine_chunks().to_numpy()
-        s = np.sqrt(m2 / (n - 1.0))  # sample stddev
-        skew = n / ((n - 1.0) * (n - 2.0)) * m3 / s**3
-        kurt = (n * (n + 1.0) / ((n - 1.0) * (n - 2.0) * (n - 3.0)) * m4 / s**4
-                - 3.0 * (n - 1.0) ** 2 / ((n - 2.0) * (n - 3.0)))
-        return pa.table({"l_returnflag": t["l_returnflag"],
-                         "n": pa.array(n.astype(np.int64)),
-                         "skew_price": pa.array(skew),
-                         "kurt_price": pa.array(kurt)})
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    m = (ds.map_batches(centered_powers, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("l_returnflag", as_index=False).sum()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    n = np.array([stats[f][1] for f in m["l_returnflag"]], dtype=np.float64)
+    m2 = m["m2"].to_numpy()
+    m3 = m["m3"].to_numpy()
+    m4 = m["m4"].to_numpy()
+    s = np.sqrt(m2 / (n - 1.0))  # sample stddev
+    skew = n / ((n - 1.0) * (n - 2.0)) * m3 / s**3
+    kurt = (n * (n + 1.0) / ((n - 1.0) * (n - 2.0) * (n - 3.0)) * m4 / s**4
+            - 3.0 * (n - 1.0) ** 2 / ((n - 2.0) * (n - 3.0)))
+    return rd.from_pandas(pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "n": n.astype(np.int64),
+        "skew_price": skew,
+        "kurt_price": kurt,
+    }))
 
 
 Q_LINEITEM_SKEW_KURT_SQL = """
@@ -1778,13 +1788,22 @@ def _rank_select_cents(
     the group count itself).  At extreme block counts a tree-combine slots
     in unchanged."""
 
+    def _typed_empty(val_col: str) -> pa.Table:
+        return pa.table({"grp": pa.array([], pa.string()),
+                         val_col: pa.array([], pa.int64()),
+                         "w": pa.array([], pa.int64())})
+
     def coarse_partial(t: pa.Table) -> pa.Table:
         grp, cents, w = prep(t)
+        if len(cents) == 0:
+            return _typed_empty("cbin")
         b = cents // coarse_w
         if grp is None and w is None:
             counts = np.bincount(b)
             nz = np.flatnonzero(counts)
-            return pa.table({"grp": pa.array([""] * len(nz)),
+            # explicit string type: an empty block would otherwise emit a
+            # null-typed grp column and a schema-mismatch warning
+            return pa.table({"grp": pa.array([""] * len(nz), pa.string()),
                              "cbin": pa.array(nz.astype(np.int64)),
                              "w": pa.array(counts[nz].astype(np.int64))})
         df = pd.DataFrame({
@@ -1814,12 +1833,14 @@ def _rank_select_cents(
 
     def fine_partial(t: pa.Table) -> pa.Table:
         grp, cents, w = prep(t)
+        if len(cents) == 0:
+            return _typed_empty("cents")
         b = cents // coarse_w
         if grp is None:
             mask = np.isin(b, needed_bins)
             if w is None:
                 vals, counts = np.unique(cents[mask], return_counts=True)
-                return pa.table({"grp": pa.array([""] * len(vals)),
+                return pa.table({"grp": pa.array([""] * len(vals), pa.string()),
                                  "cents": pa.array(vals.astype(np.int64)),
                                  "w": pa.array(counts.astype(np.int64))})
             grp = np.full(len(cents), "", dtype=object)
