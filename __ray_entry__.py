@@ -1319,6 +1319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": A.q_lineitem_corr_matrix,
         "events_user_skew": A.q_events_user_skew,
         "doc_length_ks": A.q_doc_length_ks,
+        "events_profile": A.q_events_profile,
+        "orders_ri_audit": A.q_orders_ri_audit,
         "doc_token_triangles": D.q_doc_token_triangles,
         "source_vocab_jaccard": D.q_source_vocab_jaccard,
         "transcript_conv_dedup": _q_transcript_conv_dedup,
@@ -1386,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr_matrix": A.Q_LINEITEM_CORR_MATRIX_SQL,
         "events_user_skew": A.Q_EVENTS_USER_SKEW_SQL,
         "doc_length_ks": A.Q_DOC_LENGTH_KS_SQL,
+        "events_profile": A.Q_EVENTS_PROFILE_SQL,
+        "orders_ri_audit": A.Q_ORDERS_RI_AUDIT_SQL,
         "doc_token_triangles": D.q_doc_token_triangles_sql(),
         "source_vocab_jaccard": D.Q_SOURCE_VOCAB_JACCARD_SQL,
         "transcript_conv_dedup": _Q_TRANSCRIPT_CONV_DEDUP_SQL,

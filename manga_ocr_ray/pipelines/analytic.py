@@ -2270,3 +2270,176 @@ SELECT (SELECT CAST(ta AS BIGINT) FROM t) AS n_en,
        max(abs(fa - fb)) AS ks_stat
 FROM e
 """
+
+
+# ---- ingest-time table profile (schema-quality audit) ------------------------
+
+def q_events_profile(sf_dir: str) -> pd.DataFrame:
+    """One-pass ingest profile of the events table: row count, per-column
+    null counts, exact distinct count of the enum-like ``event_type``,
+    value/timestamp min-max, and mean ``props`` length — the schema-quality
+    report a 100-TB ingest runs before anything downstream trusts the data.
+
+    Plan: ONE pruned corpus pass; each block reduces to k rows where k is
+    the block's own distinct ``event_type`` count (row 0 carries the
+    block's scalar partials — Arrow ``null_count`` per column, ``min_max``
+    kernels, a length sum — the rest carry only the type value), and the
+    driver combines the blocks×k-bounded partial table: null-skipping sums
+    and min/max plus one ``unique`` over the type column.  No shuffle.
+    Exact distinct is restricted to enum-like columns BY DESIGN — the
+    per-block unique list must stay domain-bounded; unbounded-cardinality
+    columns (user_id, event_id) go through the HLL sketch
+    (``stages/sketch.py q_events_heavy_users`` family) instead."""
+    COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = pc.drop_null(pc.unique(t["event_type"]))
+        k = max(1, len(et))
+        pad = lambda v, typ: pa.array([v] + [None] * (k - 1), typ)  # noqa: E731
+        vmm = pc.min_max(t["value"])
+        tmm = pc.min_max(t["ts"])
+        out: dict[str, pa.Array] = {
+            "event_type": et if len(et) else pa.array([None], pa.string()),
+            "n_rows": pad(t.num_rows, pa.int64()),
+        }
+        for c in COLS:
+            out["null_" + c] = pad(t[c].null_count, pa.int64())
+        out["value_min"] = pad(vmm["min"].as_py(), pa.float64())
+        out["value_max"] = pad(vmm["max"].as_py(), pa.float64())
+        out["ts_min"] = pad(tmm["min"].as_py(), pa.timestamp("us"))
+        out["ts_max"] = pad(tmm["max"].as_py(), pa.timestamp("us"))
+        out["props_len_sum"] = pad(
+            pc.sum(pc.utf8_length(t["props"])).as_py() or 0, pa.int64())
+        return pa.table(out)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n_rows"].sum())
+    out = {"n_rows": [n]}
+    for c in COLS:
+        out["null_" + c] = [int(p["null_" + c].sum())]
+    out["event_type_distinct"] = [int(p["event_type"].dropna().nunique())]
+    out["value_min"] = [float(p["value_min"].min())]
+    out["value_max"] = [float(p["value_max"].max())]
+    out["ts_min"] = [p["ts_min"].min()]
+    out["ts_max"] = [p["ts_max"].max()]
+    # one IEEE division, mirrored verbatim in the oracle SQL
+    out["props_avg_len"] = [float(p["props_len_sum"].sum())
+                            / (n - int(p["null_props"].sum()))]
+    return pd.DataFrame(out)
+
+
+Q_EVENTS_PROFILE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS null_event_id,
+       CAST(count(*) - count(ts) AS BIGINT) AS null_ts,
+       CAST(count(*) - count(user_id) AS BIGINT) AS null_user_id,
+       CAST(count(*) - count(event_type) AS BIGINT) AS null_event_type,
+       CAST(count(*) - count(value) AS BIGINT) AS null_value,
+       CAST(count(*) - count(props) AS BIGINT) AS null_props,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS event_type_distinct,
+       min(value) AS value_min, max(value) AS value_max,
+       min(ts) AS ts_min, max(ts) AS ts_max,
+       CAST(sum(length(props)) AS DOUBLE) / count(props) AS props_avg_len
+FROM events
+"""
+
+
+# ---- referential-integrity audit (orphan foreign keys) ------------------------
+
+def _antijoin_count(child: rd.Dataset, child_key: str,
+                    parent: rd.Dataset, parent_key: str) -> int:
+    """Count child rows whose key has no parent match — the engine core of
+    the referential-integrity audit.  Cardinality-switched like every other
+    small-side lookup in this repo (``_broadcast_max_rows``):
+
+    - parent row count below the switch → the parent's distinct keys ship
+      ONCE as a sorted numpy array via ``ray.put`` and each child block
+      counts misses with ``np.isin`` — zero shuffle, one int per block back
+      to the driver;
+    - above the switch (a 100-TB-child edge like lineitem→orders, where
+      even the DISTINCT key side is too big to hold) both sides reduce to
+      block-local distinct (key, cnt/flag) partials and ONE combining
+      groupby carries distinct keys only — never child rows — with the
+      orphan total summed from the grouped output's blocks."""
+    from .relational import _broadcast_max_rows
+
+    if parent.count() <= _broadcast_max_rows():
+        def puniq(t: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.unique(t[parent_key])})
+
+        keys = np.unique(
+            parent.map_batches(puniq, batch_format="pyarrow")
+                  .to_pandas()["k"].to_numpy())
+        ref = ray.put(np.sort(keys))
+
+        def misses(t: pa.Table) -> pa.Table:
+            k = t[child_key].to_numpy(zero_copy_only=False)
+            return pa.table({"miss": pa.array(
+                [int((~np.isin(k, ray.get(ref))).sum())], pa.int64())})
+
+        return int(child.map_batches(misses, batch_format="pyarrow")
+                        .to_pandas()["miss"].sum())
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        k, c = np.unique(t[child_key].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"k": pa.array(k.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64)),
+                         "flag": pa.array(np.zeros(len(k), np.int64))})
+
+    def parent_partial(t: pa.Table) -> pa.Table:
+        k = pc.unique(t[parent_key])
+        one = np.ones(len(k), np.int64)
+        return pa.table({"k": pc.cast(k, pa.int64()),
+                         "cnt": pa.array(np.zeros(len(k), np.int64)),
+                         "flag": pa.array(one)})
+
+    both = (child.map_batches(child_partial, batch_format="pyarrow")
+            .union(parent.map_batches(parent_partial, batch_format="pyarrow"))
+            .groupby("k").aggregate(Sum("cnt", alias_name="cnt"),
+                                    Max("flag", alias_name="flag")))
+
+    def orphan_sum(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t["flag"], pa.scalar(0, pa.int64())))
+        return pa.table({"miss": pa.array(
+            [int(pc.sum(m["cnt"]).as_py() or 0)], pa.int64())})
+
+    return int(both.map_batches(orphan_sum, batch_format="pyarrow")
+                   .to_pandas()["miss"].sum())
+
+
+def q_orders_ri_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit across the order hub's three edges:
+    lineitems without an order, orders without a customer, and orders
+    without any lineitem — the cross-table consistency report an ingest
+    pipeline emits before joins downstream silently drop rows.  Each edge
+    is one `_antijoin_count` (broadcast below the cardinality switch, one
+    distinct-keys-only groupby above it); the three counts are independent
+    single-int results so the driver state is three integers."""
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey"])
+    orders_ck = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"])
+    orders_ok = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"])
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+    return pd.DataFrame({
+        "li_orphans": [_antijoin_count(li, "l_orderkey",
+                                       orders_ok, "o_orderkey")],
+        "order_orphans": [_antijoin_count(orders_ck, "o_custkey",
+                                          cust, "c_custkey")],
+        "childless_orders": [_antijoin_count(orders_ok, "o_orderkey",
+                                             li, "l_orderkey")],
+    })
+
+
+Q_ORDERS_RI_AUDIT_SQL = """
+SELECT
+ (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS li_orphans,
+ (SELECT CAST(count(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS order_orphans,
+ (SELECT CAST(count(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders
+"""

@@ -741,3 +741,40 @@ def test_conv_dedup_rep_mapping_and_planted_duplicate(ray_session):
                   on=("h_lo", "h_hi"))
            .to_pandas().set_index("conv_id")["rep"].to_dict())
     assert got == {"c1": "c1", "c2": "c1", "c3": "c3"}
+
+
+def test_events_profile_matches_direct(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_profile
+
+    got = q_events_profile(SF_DIR)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert int(got["n_rows"].iloc[0]) == len(ev)
+    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]:
+        assert int(got["null_" + c].iloc[0]) == int(ev[c].isna().sum()), c
+    assert int(got["event_type_distinct"].iloc[0]) == ev["event_type"].nunique()
+    assert got["value_min"].iloc[0] == ev["value"].min()
+    assert got["value_max"].iloc[0] == ev["value"].max()
+    assert got["ts_min"].iloc[0] == ev["ts"].min()
+    assert got["ts_max"].iloc[0] == ev["ts"].max()
+    assert got["props_avg_len"].iloc[0] == pytest.approx(
+        ev["props"].str.len().sum() / ev["props"].notna().sum(), abs=1e-12)
+
+
+def test_ri_audit_both_plans_match_direct(ray_session, monkeypatch):
+    from manga_ocr_ray.pipelines.analytic import q_orders_ri_audit
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"])
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+    want = {
+        "li_orphans": int((~li["l_orderkey"].isin(orders["o_orderkey"])).sum()),
+        "order_orphans": int((~orders["o_custkey"].isin(cust["c_custkey"])).sum()),
+        "childless_orders": int((~orders["o_orderkey"].isin(li["l_orderkey"])).sum()),
+    }
+    # audit must report a NONZERO count somewhere or the fixture proves nothing
+    assert any(v > 0 for v in want.values())
+    for env in ["0", "5000000"]:  # forced distinct-keys groupby plan + broadcast plan
+        monkeypatch.setenv("GRAFT_BROADCAST_MAX_ROWS", env)
+        got = q_orders_ri_audit(SF_DIR)
+        assert {c: int(got[c].iloc[0]) for c in want} == want, env
