@@ -625,7 +625,7 @@ WHERE 5 * qty_c * n < sumq
 
 # ---- bloom-filter pruned exact semi-join -------------------------------------
 
-def q_lineitem_bloom_semi(sf_dir: str) -> rd.Dataset:
+def q_lineitem_bloom_semi(sf_dir: str) -> pd.DataFrame:
     """Revenue of line items belonging to URGENT orders via
     ``stages.bloomjoin.bloom_semi_join``: the urgent-orderkey set is turned
     into a distributed-built bloom filter (per-block partial bit arrays
@@ -652,16 +652,30 @@ def q_lineitem_bloom_semi(sf_dir: str) -> rd.Dataset:
     li = li.map_batches(rev, batch_format="pyarrow")
     semi = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey",
                            num_partitions=_join_partitions())
-    agg = semi.groupby("l_returnflag").aggregate(
-        Sum("price_c", alias_name="sum_c"), Count(alias_name="n_items"))
 
-    def finish(t: pa.Table) -> pa.Table:
-        s = t["sum_c"].combine_chunks().to_numpy().astype(np.float64)
-        return pa.table({"l_returnflag": t["l_returnflag"],
-                         "urgent_revenue": s / 100.0,
-                         "n_items": pc.cast(t["n_items"], pa.int64())})
+    # |returnflag| = 3: each survivor block reduces to ≤3 partial rows and
+    # the blocks×3 table combines on the driver — a corpus-keyed aggregate
+    # here only added an exchange plus empty-partition schema warnings.
+    def partial(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["l_returnflag"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        price = t["price_c"].to_numpy(zero_copy_only=False)
+        sums, ns = [], []
+        for k in range(len(enc.dictionary)):
+            m = codes == k
+            ns.append(int(m.sum()))
+            sums.append(int(price[m].sum()))
+        return pa.table({"l_returnflag": pc.cast(enc.dictionary, pa.string()),
+                         "sum_c": pa.array(sums, pa.int64()),
+                         "n_items": pa.array(ns, pa.int64())})
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    p = (semi.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("l_returnflag", as_index=False).sum())
+    return pd.DataFrame({
+        "l_returnflag": p["l_returnflag"],
+        "urgent_revenue": p["sum_c"].to_numpy().astype(np.float64) / 100.0,
+        "n_items": p["n_items"].astype(np.int64),
+    })
 
 
 Q_LINEITEM_BLOOM_SEMI_SQL = """
@@ -1756,6 +1770,12 @@ FROM orders GROUP BY 1
 
 # ---- exact global percentiles by two-pass selection (no global sort) ----------
 
+_RANK_SCHEMA_CBIN = pa.schema(
+    [("grp", pa.string()), ("cbin", pa.int64()), ("w", pa.int64())])
+_RANK_SCHEMA_CENTS = pa.schema(
+    [("grp", pa.string()), ("cents", pa.int64()), ("w", pa.int64())])
+
+
 def _rank_select_cents(
     ds: rd.Dataset,
     prep,
@@ -1812,7 +1832,7 @@ def _rank_select_cents(
             "w": w if w is not None else np.ones(len(b), np.int64)})
         return pa.Table.from_pandas(
             df.groupby(["grp", "cbin"], as_index=False)["w"].sum(),
-            preserve_index=False)
+            preserve_index=False, schema=_RANK_SCHEMA_CBIN)
 
     hist = (ds.map_batches(coarse_partial, batch_format="pyarrow")
               .to_pandas()
@@ -1848,12 +1868,15 @@ def _rank_select_cents(
             mask = np.zeros(len(cents), dtype=bool)
             for g_, b_ in needed:  # ≤ groups × thresholds vectorized clauses
                 mask |= (grp == g_) & (b == b_)
+        # explicit schema: a block whose rows ALL fall outside the needed
+        # bins groups to an empty frame whose object grp column would
+        # otherwise convert to null type (schema-mismatch warnings)
         df = pd.DataFrame({"grp": grp[mask], "cents": cents[mask],
                            "w": (w[mask] if w is not None
                                  else np.ones(int(mask.sum()), np.int64))})
         return pa.Table.from_pandas(
             df.groupby(["grp", "cents"], as_index=False)["w"].sum(),
-            preserve_index=False)
+            preserve_index=False, schema=_RANK_SCHEMA_CENTS)
 
     fine = (ds.map_batches(fine_partial, batch_format="pyarrow")
               .to_pandas()

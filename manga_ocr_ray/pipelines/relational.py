@@ -56,62 +56,73 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
-def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 with decimal-exact aggregation: float Sum over distributed
     blocks accumulates in nondeterministic order, so the last bits differ
     run-to-run and from any oracle.  Summing int64 cents is exact and
     order-independent; the final division back to dollars is one IEEE op
     mirrored verbatim in the oracle SQL → bit-identical doubles.
     (int64 partial sums hold ~9e9 rows/group at these magnitudes; beyond
-    that, split hi/lo words or pre-scale per partition.)"""
+    that, split hi/lo words or pre-scale per partition.)
+
+    Plan (r5): the group domain is bounded (|returnflag|×|linestatus| = 6),
+    so each block reduces to ≤6 partial rows via dictionary-encode + masked
+    int64 sums and the blocks×6 partial table combines on the DRIVER — no
+    shuffle at all.  The previous corpus-sized ``groupby().aggregate``
+    bought nothing at this cardinality and its empty hash partitions
+    emitted key-only schemas (Ray RefBundle schema-mismatch warnings)."""
     ds = rd.read_parquet(
         _pq(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def measures(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
-        qty_c = _cents(t["l_quantity"])
-        price_c = _cents(t["l_extendedprice"])
-        disc_c = _cents(t["l_discount"])
+        pair = pc.binary_join_element_wise(
+            t["l_returnflag"], t["l_linestatus"], "|")
+        enc = pc.dictionary_encode(pair.combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
+        qty_c = _cents(t["l_quantity"]).to_numpy()
+        price_c = _cents(t["l_extendedprice"]).to_numpy()
+        disc_c = _cents(t["l_discount"]).to_numpy()
         # price_cents * (100 - disc_cents) = disc_price in 1e-4 dollars, exact
-        dp_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
-        return pa.table({
-            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
-            "qty_c": qty_c, "price_c": price_c, "disc_c": disc_c, "dp_e4": dp_e4,
-        })
+        dp_e4 = price_c * (100 - disc_c)
+        rows: dict[str, list] = {"pair": vocab, "n": [], "sum_qty_c": [],
+                                 "sum_price_c": [], "sum_dp_e4": [],
+                                 "sum_disc_c": []}
+        for k in range(len(vocab)):   # ≤6 iterations — the domain, not rows
+            m = codes == k
+            rows["n"].append(int(m.sum()))
+            rows["sum_qty_c"].append(int(qty_c[m].sum()))
+            rows["sum_price_c"].append(int(price_c[m].sum()))
+            rows["sum_dp_e4"].append(int(dp_e4[m].sum()))
+            rows["sum_disc_c"].append(int(disc_c[m].sum()))
+        return pa.table({"pair": pa.array(rows["pair"], pa.string()),
+                         **{c: pa.array(rows[c], pa.int64())
+                            for c in ("n", "sum_qty_c", "sum_price_c",
+                                      "sum_dp_e4", "sum_disc_c")}})
 
-    agg = (
-        ds.map_batches(measures, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="sum_qty_c"),
-            Sum("price_c", alias_name="sum_price_c"),
-            Sum("dp_e4", alias_name="sum_dp_e4"),
-            Sum("disc_c", alias_name="sum_disc_c"),
-            Count(alias_name="count_order"),
-        )
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        n = t["count_order"].combine_chunks().to_numpy().astype(np.float64)
-        sum_qty_c = t["sum_qty_c"].combine_chunks().to_numpy().astype(np.float64)
-        sum_price_c = t["sum_price_c"].combine_chunks().to_numpy().astype(np.float64)
-        sum_dp_e4 = t["sum_dp_e4"].combine_chunks().to_numpy().astype(np.float64)
-        sum_disc_c = t["sum_disc_c"].combine_chunks().to_numpy().astype(np.float64)
-        return pa.table({
-            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
-            "sum_qty": sum_qty_c / 100.0,
-            "sum_base_price": sum_price_c / 100.0,
-            "sum_disc_price": sum_dp_e4 / 10000.0,
-            "avg_qty": sum_qty_c / 100.0 / n,
-            "avg_price": sum_price_c / 100.0 / n,
-            "avg_disc": sum_disc_c / 100.0 / n,
-            "count_order": t["count_order"],
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("pair", as_index=False).sum()
+           .sort_values("pair").reset_index(drop=True))
+    flag_status = p["pair"].str.split("|", expand=True)
+    n = p["n"].to_numpy().astype(np.float64)
+    sum_qty_c = p["sum_qty_c"].to_numpy().astype(np.float64)
+    sum_price_c = p["sum_price_c"].to_numpy().astype(np.float64)
+    sum_dp_e4 = p["sum_dp_e4"].to_numpy().astype(np.float64)
+    sum_disc_c = p["sum_disc_c"].to_numpy().astype(np.float64)
+    return pd.DataFrame({
+        "l_returnflag": flag_status[0], "l_linestatus": flag_status[1],
+        "sum_qty": sum_qty_c / 100.0,
+        "sum_base_price": sum_price_c / 100.0,
+        "sum_disc_price": sum_dp_e4 / 10000.0,
+        "avg_qty": sum_qty_c / 100.0 / n,
+        "avg_price": sum_price_c / 100.0 / n,
+        "avg_disc": sum_disc_c / 100.0 / n,
+        "count_order": p["n"].astype(np.int64),
+    })
 
 
 Q1_SQL = """
@@ -795,31 +806,45 @@ FROM events
 
 # ---- grouped quantiles ------------------------------------------------------
 
-def q_orders_price_quantiles(sf_dir: str) -> rd.Dataset:
-    """Exact p25/median/p75 of order totalprice per priority — per-group
-    numpy quantiles after ONE hash partition (groups fit comfortably; at
-    10^12 rows this becomes a t-digest partial + merge, the HLL pattern)."""
+def q_orders_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact interpolated p25/median/p75 of order totalprice per priority —
+    the grouped case of the shared coarse→fine distributed rank selection
+    (``analytic._rank_select_cents``): each group's floor/ceil order
+    statistics resolve in the SAME two streaming passes and interpolate
+    exactly like SQL ``quantile_cont``.  r5 rewrite: the previous plan
+    hash-partitioned the corpus for a per-priority ``map_groups`` — a
+    corpus-sized sort-shuffle (each group IS corpus/5) whose empty
+    partitions also emitted schema-less bundles into the BENCH tail; the
+    selection plan moves O(blocks × occupied $10-bins) instead."""
+    from .analytic import _rank_select_cents
+
     ds = rd.read_parquet(_pq(sf_dir, "orders"),
                          columns=["o_orderpriority", "o_totalprice"])
+    quantiles = (0.25, 0.5, 0.75)
 
-    def quant(g: pd.DataFrame) -> pa.Table:
-        # Typed Arrow out, incl. for EMPTY hash partitions: pandas group
-        # results (or schema-less empty blocks) interleaved with Arrow blocks
-        # trip streaming-executor schema-mismatch warnings in the BENCH tail
-        if len(g) == 0:
-            return pa.table({"o_orderpriority": pa.array([], pa.string()),
-                             "p25": pa.array([], pa.float64()),
-                             "median": pa.array([], pa.float64()),
-                             "p75": pa.array([], pa.float64())})
-        v = g["o_totalprice"].to_numpy()
-        q25, q50, q75 = np.quantile(v, [0.25, 0.5, 0.75])
-        return pa.table({
-            "o_orderpriority": pa.array([g["o_orderpriority"].iloc[0]]),
-            "p25": pa.array([q25]), "median": pa.array([q50]),
-            "p75": pa.array([q75]),
-        })
+    def prep(t: pa.Table):
+        return (t["o_orderpriority"].to_numpy(zero_copy_only=False),
+                _cents(t["o_totalprice"]).to_numpy(), None)
 
-    return ds.groupby("o_orderpriority").map_groups(quant, batch_format="pandas")
+    def thresholds_of(totals: dict[str, int]) -> dict[str, list[float]]:
+        th = {}
+        for g, n in totals.items():
+            ranks = ({int(np.floor((n - 1) * q)) for q in quantiles}
+                     | {int(np.ceil((n - 1) * q)) for q in quantiles})
+            th[g] = sorted(float(r + 1) for r in ranks)
+        return th
+
+    totals, sel = _rank_select_cents(ds, prep, thresholds_of)
+    rows = []
+    for g, n in sorted(totals.items()):
+        row: dict[str, object] = {"o_orderpriority": g}
+        for q, name in zip(quantiles, ("p25", "median", "p75")):
+            pos = (n - 1) * q
+            lo = sel[(g, float(int(np.floor(pos)) + 1))] / 100.0
+            hi = sel[(g, float(int(np.ceil(pos)) + 1))] / 100.0
+            row[name] = lo + (pos - np.floor(pos)) * (hi - lo)
+        rows.append(row)
+    return pd.DataFrame(rows)
 
 
 Q_ORDERS_PRICE_QUANTILES_SQL = """
