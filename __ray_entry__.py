@@ -1139,18 +1139,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so that the first 50 entries (the driver's correctness window)
     are exactly 50 oracle-bearing queries.  ROUND-5 ROTATION (r4 VERDICT
     item 1 — the final certification-completeness pass): the flagship
-    transcript gates stay first, 14 slots hold family representatives plus
-    every operator CHANGED this round (doc_tfidf_top_terms sharded finish,
-    transcript_merge barrier knob, embedding_semdedup Arrow dedup_cluster,
-    events_segment_revenue skew-join Arrow hot path), and the remaining 36
-    slots are exactly the oracle-bearing queries the driver has NEVER
-    certified in rounds 1-4 (the TPC-H completion wave q2/q4/q6-q16/q18-q22,
-    SemDeDup, DSIR, jsonl round-trip, ppl-buckets, winnowing, chunking, BPE
-    pairs, knn-classify, conv-stats, tool-latency, fill/clean, percent-rank,
-    MAD, funnel-latency, char-entropy, weighted-sample, ntile, dense-rank) —
-    green rows here raise cumulative driver certification to 133/133
-    oracle-bearing queries.  Displaced entries were driver-green in
-    CORRECTNESS_r02-r04 and stay value-checked by scripts/check_oracle.py."""
+    transcript gates stay first, the next slots hold every operator whose
+    execution PLAN changed during round 5 and therefore needs driver
+    re-certification (doc_tfidf_top_terms sharded finish, transcript_merge
+    barrier knob, embedding_semdedup Arrow dedup_cluster,
+    events_segment_revenue skew-join Arrow hot path, the session-4
+    de-shuffled q1/bloom-semi/price-quantiles finishes, the sf0.001 minhash
+    recall gate) plus two never-certified round-5 transcript additions
+    (conv-dedup, strip-ratio), and the remaining 36 slots are exactly the
+    oracle-bearing queries the driver had NEVER certified in rounds 1-4
+    (the TPC-H completion wave q2/q4/q6-q16/q18-q22, SemDeDup, DSIR, jsonl
+    round-trip, ppl-buckets, winnowing, chunking, BPE pairs, knn-classify,
+    conv-stats, tool-latency, fill/clean, percent-rank, MAD, funnel-latency,
+    char-entropy, weighted-sample, ntile, dense-rank) — green rows raise
+    cumulative driver certification to 133/133 of the round-4 oracle-bearing
+    set plus first-time round-5 entries.  Displaced entries were driver-green
+    in CORRECTNESS_r02-r04 and stay value-checked by
+    scripts/check_oracle.py."""
     from manga_ocr_ray.pipelines import analytic as A
     from manga_ocr_ray.pipelines import documents as D
     from manga_ocr_ray.pipelines import relational as R
@@ -1166,14 +1171,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_cjk_stats": _q_transcript_cjk_stats,
         "transcript_cer": _q_transcript_cer,
         "transcript_ja_segment": _q_transcript_ja_segment,
-        # family representatives held over (driver-green r2-r4) + the four
-        # operators whose execution plans changed this round
-        "doc_prep_pipeline": _q_doc_prep_pipeline,
+        # operators whose execution plans changed during round 5 (must be
+        # driver-RE-certified): q1/bloom-semi/price-quantiles got de-shuffled
+        # block-local finishes in session 4, minhash got the sf0.001 recall
+        # gate, tfidf/segment-revenue/user-active-days changed in session 1
         "q1_pricing_summary": R.q1_pricing_summary,
-        "doc_normalize": D.q_doc_normalize,
-        "registry_clean": _q_registry_clean,
+        "lineitem_bloom_semi": A.q_lineitem_bloom_semi,
+        "orders_price_quantiles": R.q_orders_price_quantiles,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
-        "embedding_topk": _q_embedding_topk,
+        # round-5 transcript additions, never driver-certified (on-theme:
+        # conversation-level exact dedup of the merged flagship output, and
+        # the per-kind extraction strip-ratio metric)
+        "transcript_conv_dedup": _q_transcript_conv_dedup,
+        "transcript_strip_ratio": _q_transcript_strip_ratio,
         "doc_tfidf_top_terms": D.q_doc_tfidf_top_terms,   # sharded top-5 (r5)
         "events_segment_revenue": A.q_events_segment_revenue,  # Arrow hot path (r5)
         # join removed (Acero empty-partition wedge) — re-certify (r5)
@@ -1271,7 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_classes": R.q_doc_char_classes,
         "customers_no_orders": R.q_customers_no_orders,
         "event_types": R.q_event_types,
-        "orders_price_quantiles": R.q_orders_price_quantiles,
+        "doc_normalize": D.q_doc_normalize,
         "doc_flatten_pdf": D.q_doc_flatten_pdf,
         "doc_quality": D.q_doc_quality,
         "doc_fingerprint": D.q_doc_fingerprint,
@@ -1285,7 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": A.q_events_rollup,
         "doc_pack_tokens": D.q_doc_pack_tokens,
         "q17_avg_yearly": A.q17_avg_yearly,
-        "lineitem_bloom_semi": A.q_lineitem_bloom_semi,
+        "doc_prep_pipeline": _q_doc_prep_pipeline,
         "doc_inverted_index": D.q_doc_inverted_index,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "embedding_quantize": _q_embedding_quantize,
@@ -1309,7 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_role_transitions": _q_transcript_role_transitions,
         "doc_table_checksum": D.q_doc_table_checksum,
         "events_grouping_sets": A.q_events_grouping_sets,
-        "transcript_strip_ratio": _q_transcript_strip_ratio,
+        "registry_clean": _q_registry_clean,
         "lineitem_weighted_median": A.q_lineitem_weighted_median,
         "lineitem_weighted_quartiles": A.q_lineitem_weighted_quartiles,
         "events_type_dow_chi2": A.q_events_type_dow_chi2,
@@ -1323,7 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ri_audit": A.q_orders_ri_audit,
         "doc_token_triangles": D.q_doc_token_triangles,
         "source_vocab_jaccard": D.q_source_vocab_jaccard,
-        "transcript_conv_dedup": _q_transcript_conv_dedup,
+        "embedding_topk": _q_embedding_topk,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
