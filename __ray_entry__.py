@@ -680,6 +680,121 @@ FROM w WHERE to_role IS NOT NULL GROUP BY 1, 2
 """
 
 
+_CONTEXT_BUDGET_TOKENS = 512
+
+
+def _q_transcript_context_budget(sf_dir: str):
+    """Per-turn RUNNING context size per conversation — ``sum(n_tokens)
+    OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED
+    PRECEDING)`` — plus the over-budget flag a context-window packing /
+    truncation pass keys on.  Same sharded vectorized window as
+    tool-latency (hash(conv_id) shards, conversations never split): one
+    RE2 token-count kernel + one segmented ``np.cumsum`` per shard; no
+    per-conversation Python, no second shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from manga_ocr_ray.functions.textstats import token_count_array
+
+    def cum_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        ntok = pc.cast(token_count_array(g["text"].combine_chunks()),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        cum = np.cumsum(ntok)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = same_next[:-1]
+        starts = np.flatnonzero(~same_prev)          # first turn of each conv
+        base = np.repeat(cum[starts] - ntok[starts],
+                         np.diff(np.append(starts, n)))
+        seg = cum - base
+        return pa.table({
+            "conv_id": g["conv_id"], "turn_idx": g["turn_idx"],
+            "cum_tokens": pa.array(seg, pa.int64()),
+            "over_budget": pa.array(seg > _CONTEXT_BUDGET_TOKENS),
+        })
+
+    return _conv_shard_window(["conv_id", "turn_idx", "text"], cum_in_shard)
+
+
+def _transcript_context_budget_sql() -> str:
+    from manga_ocr_ray.functions.textstats import TOKEN_PATTERN
+
+    return f"""
+WITH w AS (
+  SELECT conv_id, turn_idx,
+         CAST(sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) OVER
+              (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM '{_ORACLE_CORPUS}/transcripts.parquet')
+SELECT conv_id, turn_idx, cum_tokens,
+       cum_tokens > {_CONTEXT_BUDGET_TOKENS} AS over_budget
+FROM w
+"""
+
+
+def _q_transcript_tool_chains(sf_dir: str):
+    """Longest run of CONSECUTIVE tool-tagged turns per conversation — the
+    agentic-loop depth audit (a conversation stuck calling tools 30 turns
+    straight is a runaway agent).  Gaps-and-islands re-expressed shard-local:
+    conversations never split across hash(conv_id) shards, so each shard
+    reduces straight to its per-conversation maxima (run starts/ends from
+    shifted boolean masks, per-conv max via ``np.maximum.at``) and the
+    groupby moves zero corpus rows — output is conversation-sized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def chains_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        tool = g["tool"].combine_chunks().fill_null("")
+        istool = pc.not_equal(tool, "").to_numpy(zero_copy_only=False)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = same_next[:-1]
+        prev_tool = np.zeros(n, dtype=bool)
+        prev_tool[1:] = istool[:-1]
+        run_start = istool & ~(prev_tool & same_prev)
+        cont_next = np.zeros(n, dtype=bool)
+        cont_next[:-1] = istool[1:] & same_next[:-1]
+        run_end = istool & ~cont_next
+        s_idx, e_idx = np.flatnonzero(run_start), np.flatnonzero(run_end)
+        lengths = (e_idx - s_idx + 1).astype(np.int64)
+        conv_ord = np.cumsum(~same_prev) - 1          # 0-based conv ordinal
+        max_chain = np.zeros(int(conv_ord[-1]) + 1 if n else 0,
+                             dtype=np.int64)
+        np.maximum.at(max_chain, conv_ord[s_idx], lengths)
+        conv_first = np.flatnonzero(~same_prev)
+        conv = g["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": conv.take(pa.array(conv_first)),
+            "max_tool_chain": pa.array(max_chain),
+        })
+
+    return _conv_shard_window(["conv_id", "turn_idx", "tool"],
+                              chains_in_shard)
+
+
+_Q_TRANSCRIPT_TOOL_CHAINS_SQL = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         (tool IS NOT NULL AND tool <> '') AS is_tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM '{_ORACLE_CORPUS}/transcripts.parquet'),
+g AS (
+  SELECT conv_id, is_tool,
+         rn - row_number() OVER (PARTITION BY conv_id, is_tool
+                                 ORDER BY turn_idx) AS grp
+  FROM t),
+runs AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM g WHERE is_tool GROUP BY conv_id, grp)
+SELECT c.conv_id,
+       COALESCE(max(r.run_len), CAST(0 AS BIGINT)) AS max_tool_chain
+FROM (SELECT DISTINCT conv_id
+      FROM '{_ORACLE_CORPUS}/transcripts.parquet') c
+LEFT JOIN runs r USING (conv_id)
+GROUP BY c.conv_id
+"""
+
+
 def _q_transcript_strip_ratio(sf_dir: str):
     """Per-payload-kind extraction STRIP RATIO — the north-rule lineage
     metric (SURVEY G3: how much boilerplate the extractor removes per kind)
@@ -1333,6 +1448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ri_audit": A.q_orders_ri_audit,
         "doc_token_triangles": D.q_doc_token_triangles,
         "source_vocab_jaccard": D.q_source_vocab_jaccard,
+        # round-5 session-5 wave: agent-transcript window audits
+        "transcript_context_budget": _q_transcript_context_budget,
+        "transcript_tool_chains": _q_transcript_tool_chains,
         "embedding_topk": _q_embedding_topk,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
@@ -1386,6 +1504,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_percentiles_2pass": A.Q_ORDERS_PERCENTILES_2PASS_SQL,
         "events_type_hour_mi": A.Q_EVENTS_TYPE_HOUR_MI_SQL,
         "transcript_role_transitions": _Q_TRANSCRIPT_ROLE_TRANSITIONS_SQL,
+        "transcript_context_budget": _transcript_context_budget_sql(),
+        "transcript_tool_chains": _Q_TRANSCRIPT_TOOL_CHAINS_SQL,
         "doc_table_checksum": D.Q_DOC_TABLE_CHECKSUM_SQL,
         "events_grouping_sets": A.Q_EVENTS_GROUPING_SETS_SQL,
         "transcript_strip_ratio": _Q_TRANSCRIPT_STRIP_RATIO_SQL,

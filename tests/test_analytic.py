@@ -778,3 +778,74 @@ def test_ri_audit_both_plans_match_direct(ray_session, monkeypatch):
         monkeypatch.setenv("GRAFT_BROADCAST_MAX_ROWS", env)
         got = q_orders_ri_audit(SF_DIR)
         assert {c: int(got[c].iloc[0]) for c in want} == want, env
+
+
+def test_context_budget_matches_pandas_cumsum(ray_session):
+    import __ray_entry__ as E
+    from manga_ocr_ray.functions.textstats import token_count_array
+    import pyarrow as pa
+
+    got = (E._q_transcript_context_budget(SF_DIR).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    tr = pd.read_parquet(f"{E._oracle_corpus()}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "text"])
+    tr = tr.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    tr["ntok"] = token_count_array(pa.array(tr["text"])).to_numpy(
+        zero_copy_only=False).astype("int64")
+    want_cum = tr.groupby("conv_id", sort=False)["ntok"].cumsum()
+    assert (got["cum_tokens"].to_numpy() == want_cum.to_numpy()).all()
+    assert (got["over_budget"].to_numpy()
+            == (want_cum.to_numpy() > E._CONTEXT_BUDGET_TOKENS)).all()
+    # running sum is per-conversation monotone nondecreasing
+    assert (got.groupby("conv_id")["cum_tokens"].diff().dropna() >= 0).all()
+
+
+def test_tool_chains_planted_runs(ray_session, monkeypatch, tmp_path):
+    """Plant known tool-run shapes (run at conv start, at conv end, split by
+    a non-tool turn, zero-tool conv) and pin the gaps-and-islands maxima."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+
+    rows = []
+    # conv A: tool,tool,user,tool -> max 2 (leading run, then singleton)
+    for i, tool in enumerate(["search", "search", "", "fetch"]):
+        rows.append(("A", i, tool))
+    # conv B: user,user -> max 0
+    rows += [("B", 0, ""), ("B", 1, "")]
+    # conv C: user,tool,tool,tool -> max 3 (trailing run)
+    rows += [("C", 0, ""), ("C", 1, "x"), ("C", 2, "y"), ("C", 3, "z")]
+    t = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "tool": [r[2] or None for r in rows],
+        "text": ["w"] * len(rows),
+        "role": ["u"] * len(rows),
+    })
+    corpus = tmp_path / "chains"
+    corpus.mkdir()
+    pq.write_table(t, corpus / "transcripts.parquet")
+    monkeypatch.setattr(E, "_oracle_corpus", lambda: str(corpus))
+    got = (E._q_transcript_tool_chains(SF_DIR).to_pandas()
+           .set_index("conv_id")["max_tool_chain"].to_dict())
+    assert got == {"A": 2, "B": 0, "C": 3}
+
+
+def test_tool_chains_full_corpus_matches_pandas(ray_session):
+    import __ray_entry__ as E
+
+    got = (E._q_transcript_tool_chains(SF_DIR).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    tr = pd.read_parquet(f"{E._oracle_corpus()}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "tool"])
+    tr = tr.sort_values(["conv_id", "turn_idx"])
+    tr["is_tool"] = tr["tool"].fillna("").ne("")
+    # run id increments whenever is_tool flips or conversation changes
+    flip = (tr["is_tool"].ne(tr["is_tool"].shift())
+            | tr["conv_id"].ne(tr["conv_id"].shift()))
+    tr["run"] = flip.cumsum()
+    runs = (tr[tr["is_tool"]].groupby(["conv_id", "run"]).size()
+            .groupby("conv_id").max())
+    want = runs.reindex(tr["conv_id"].unique(), fill_value=0).sort_index()
+    assert got["conv_id"].tolist() == list(want.index)
+    assert (got["max_tool_chain"].to_numpy() == want.to_numpy()).all()
