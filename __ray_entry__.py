@@ -555,14 +555,19 @@ GROUP BY conv_id
 """
 
 
-def _conv_shard_window(columns: list[str], per_shard, *, num_shards: int = 64):
+def _conv_shard_window(columns: list[str], per_shard, *,
+                       num_shards: int | None = None):
     """Shared scaffolding for `lead() OVER (PARTITION BY conv_id ORDER BY
     turn_idx)`-shaped transcript windows (review fix r5 — tool-latency and
     role-transitions previously copy-pasted it): read the projected
     transcript columns, shard by hash(conv_id) so conversations never
     split, and hand each shard — pre-sorted by (conv_id, turn_idx), with
     the shifted boolean ``same_next[i] = conv[i+1] == conv[i]`` — to
-    ``per_shard(sorted_table, same_next)``."""
+    ``per_shard(sorted_table, same_next)``.
+
+    ``num_shards`` defaults to the projected input size / 128 MB (floor 64,
+    metadata-only — same rule as conversation_merge's chunk sizing): a fixed
+    shard count would put ~15B rows in one in-memory sort at 10^12 turns."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -570,6 +575,8 @@ def _conv_shard_window(columns: list[str], per_shard, *, num_shards: int = 64):
 
     ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet",
                          columns=columns)
+    if num_shards is None:
+        num_shards = max(64, int(ds.size_bytes() or 0) // (128 << 20))
 
     def add_shard(t: pa.Table) -> pa.Table:
         sh = (hash64_array(t["conv_id"]) % np.uint64(num_shards)).astype(np.int32)
