@@ -1455,9 +1455,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ri_audit": A.q_orders_ri_audit,
         "doc_token_triangles": D.q_doc_token_triangles,
         "source_vocab_jaccard": D.q_source_vocab_jaccard,
-        # round-5 session-5 wave: agent-transcript window audits
+        # round-5 session-5 wave: agent-transcript window audits +
+        # featurization / compaction / melt relational shapes
         "transcript_context_budget": _q_transcript_context_budget,
         "transcript_tool_chains": _q_transcript_tool_chains,
+        "events_value_zscore": A.q_events_value_zscore,
+        "events_latest_by_user": A.q_events_latest_by_user,
+        "lineitem_unpivot": A.q_lineitem_unpivot,
         "embedding_topk": _q_embedding_topk,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
@@ -1513,6 +1517,9 @@ def oracle_sql() -> dict[str, str]:
         "transcript_role_transitions": _Q_TRANSCRIPT_ROLE_TRANSITIONS_SQL,
         "transcript_context_budget": _transcript_context_budget_sql(),
         "transcript_tool_chains": _Q_TRANSCRIPT_TOOL_CHAINS_SQL,
+        "events_value_zscore": A.Q_EVENTS_VALUE_ZSCORE_SQL,
+        "events_latest_by_user": A.Q_EVENTS_LATEST_BY_USER_SQL,
+        "lineitem_unpivot": A.Q_LINEITEM_UNPIVOT_SQL,
         "doc_table_checksum": D.Q_DOC_TABLE_CHECKSUM_SQL,
         "events_grouping_sets": A.Q_EVENTS_GROUPING_SETS_SQL,
         "transcript_strip_ratio": _Q_TRANSCRIPT_STRIP_RATIO_SQL,

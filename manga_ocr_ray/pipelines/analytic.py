@@ -2466,3 +2466,139 @@ SELECT
    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                      WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders
 """
+
+
+# ---- round-5 session-5 additions --------------------------------------------
+
+def q_events_value_zscore(sf_dir: str) -> rd.Dataset:
+    """Per-event-type z-score standardization of ``value`` — the feature-
+    normalization transform an ML featurization pass applies before
+    training.  The group domain is bounded (|event_type| ≈ 5), so the
+    moments come from block-local dictionary-encode partials combined on
+    the DRIVER (the q1 zero-shuffle pattern): exact int64 cents sums and
+    cents² sum-of-squares per (block, type), then one broadcast
+    (type → mean, stddev_samp) dict and a map-side vectorized finish.
+    No shuffle at all.  (cents² int64 partials hold ~4e9 rows/block at
+    these magnitudes; beyond that, split hi/lo words per partition.)"""
+    from .relational import _cents
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
+        val_c = _cents(t["value"]).to_numpy()
+        n, s, s2 = [], [], []
+        for k in range(len(vocab)):   # ≤ domain iterations, not rows
+            m = codes == k
+            vk = val_c[m]
+            n.append(int(m.sum()))
+            s.append(int(vk.sum()))
+            s2.append(int((vk * vk).sum()))
+        return pa.table({"event_type": pa.array(vocab, pa.string()),
+                         "n": pa.array(n, pa.int64()),
+                         "sum_c": pa.array(s, pa.int64()),
+                         "sum_sq_c2": pa.array(s2, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("event_type", sort=True).sum())
+    stats = {}
+    for et, row in agg.iterrows():
+        n, s, s2 = int(row["n"]), int(row["sum_c"]), int(row["sum_sq_c2"])
+        mean = s / n / 100.0
+        # exact integer numerator: n*s2 - s^2 = n(n-1)·var·1e4  (Python ints,
+        # no overflow); one IEEE division+sqrt at the end
+        var = (n * s2 - s * s) / (n * (n - 1)) / 1e4 if n > 1 else float("nan")
+        stats[et] = (mean, float(np.sqrt(var)))
+    ref = ray.put(stats)
+
+    def finish(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
+        means = np.array([st[v][0] for v in vocab])[codes]
+        stds = np.array([st[v][1] for v in vocab])[codes]
+        v = t["value"].combine_chunks().to_numpy()
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "z": pa.array((v - means) / stds, pa.float64())})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+Q_EVENTS_VALUE_ZSCORE_SQL = """
+SELECT event_id, event_type,
+       (value - avg(value) OVER (PARTITION BY event_type))
+         / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+FROM events
+"""
+
+
+def q_events_latest_by_user(sf_dir: str) -> rd.Dataset:
+    """Latest-record-wins compaction: each user's single most recent event
+    row (ts, then event_id as the deterministic tie-break) — the CDC/upsert
+    compaction every snapshot-from-changelog pipeline runs.  Each block
+    first reduces to ≤ |users-in-block| candidate rows with one vectorized
+    lexsort (so the exchange carries per-block winners, never the raw
+    stream), then the per-user finish runs once per hash(user) SHARD."""
+    from .relational import _shard_by_int
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"))
+
+    def block_latest(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().to_numpy()
+        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, ts, u))          # ascending; last per user wins
+        su = u[order]
+        last = np.r_[su[1:] != su[:-1], True]
+        return t.take(pa.array(order[last]))
+
+    def shard_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return g[g["user_id"].ne(g["user_id"].shift(-1))].drop(columns="shard")
+
+    partials = ds.map_batches(block_latest, batch_format="pyarrow")
+    return _shard_by_int(partials, "user_id").groupby("shard").map_groups(
+        shard_latest, batch_format="pandas")
+
+
+Q_EVENTS_LATEST_BY_USER_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def q_lineitem_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT / melt — wide measure columns to (key, measure, value) long
+    form, the inverse of the pivot family.  Pure per-batch stacking (one
+    Arrow concat of three projected column views per block); no shuffle,
+    output is 3× the input rows."""
+    measures = ["l_quantity", "l_discount", "l_tax"]
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber"] + measures)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = [pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "measure": pa.array([m] * t.num_rows, pa.string()),
+            "value": pc.cast(t[m], pa.float64()),
+        }) for m in measures]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+Q_LINEITEM_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, name AS measure, value
+FROM (UNPIVOT (SELECT l_orderkey, l_linenumber,
+                      l_quantity, l_discount, l_tax FROM lineitem)
+      ON l_quantity, l_discount, l_tax INTO NAME name VALUE value)
+"""

@@ -849,3 +849,56 @@ def test_tool_chains_full_corpus_matches_pandas(ray_session):
     want = runs.reindex(tr["conv_id"].unique(), fill_value=0).sort_index()
     assert got["conv_id"].tolist() == list(want.index)
     assert (got["max_tool_chain"].to_numpy() == want.to_numpy()).all()
+
+
+def test_zscore_matches_pandas(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_value_zscore
+
+    got = q_events_value_zscore(SF_DIR).to_pandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    grp = ev.groupby("event_type")["value"]
+    ev["want_z"] = (ev["value"] - grp.transform("mean")) / grp.transform("std")
+    chk = got.merge(ev[["event_id", "want_z"]], on="event_id")
+    assert len(chk) == len(ev)
+    np.testing.assert_allclose(chk["z"].to_numpy(), chk["want_z"].to_numpy(),
+                               rtol=1e-9, atol=1e-12)
+    # per-type z-scores are standardized: mean ~0, sample std ~1
+    for _, g in got.groupby("event_type"):
+        assert abs(g["z"].mean()) < 1e-9
+        assert abs(g["z"].std() - 1.0) < 1e-9
+
+
+def test_latest_by_user_matches_pandas_and_dedups(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_events_latest_by_user
+
+    got = (q_events_latest_by_user(SF_DIR).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    want = (ev.sort_values(["user_id", "ts", "event_id"])
+            .groupby("user_id", sort=True).tail(1)
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)
+    assert got["user_id"].is_unique
+
+
+def test_unpivot_shape_and_roundtrip(ray_session):
+    from manga_ocr_ray.pipelines.analytic import q_lineitem_unpivot
+
+    got = q_lineitem_unpivot(SF_DIR).to_pandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity",
+                                  "l_discount", "l_tax"])
+    assert len(got) == 3 * len(li)
+    assert set(got["measure"]) == {"l_quantity", "l_discount", "l_tax"}
+    # each measure's long slice carries exactly the wide column's values
+    key = ["l_orderkey", "l_linenumber"]
+    for c in ["l_quantity", "l_discount", "l_tax"]:
+        long = (got[got["measure"] == c]
+                .sort_values(key + ["value"]).reset_index(drop=True))
+        wide = li.rename(columns={c: "value"}) \
+            .sort_values(key + ["value"]).reset_index(drop=True)
+        assert (long["value"].to_numpy() == wide["value"].to_numpy()).all()
+        assert (long["l_orderkey"].to_numpy()
+                == wide["l_orderkey"].to_numpy()).all()
