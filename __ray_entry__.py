@@ -779,6 +779,67 @@ def _q_transcript_tool_chains(sf_dir: str):
                               chains_in_shard)
 
 
+_SFT_CONTEXT_TURNS = 4
+
+
+def _q_transcript_sft_pairs(sf_dir: str):
+    """Transcript → SFT training examples: every assistant turn becomes a
+    (prompt, response) pair where the prompt is the last K=4 prior turns
+    rendered as ``role: text`` lines — the canonical conversation-to-
+    training-data conversion.  Vectorized on the shared conv-shard window:
+    K shifted ``take``s of the prefixed column (null where the lag crosses
+    a conversation boundary) joined by one ``binary_join_element_wise``
+    with null-skip — no per-row Python, no per-conversation group calls.
+    Empty history mirrors SQL's NULL (string_agg over an empty frame)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def sft_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = same_next[:-1]
+        starts = np.flatnonzero(~same_prev)
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        pref = pc.binary_join_element_wise(
+            g["role"].combine_chunks(), g["text"].combine_chunks(), ": ")
+        idx = np.arange(n)
+        lags = []
+        for j in range(_SFT_CONTEXT_TURNS, 0, -1):   # oldest turn first
+            valid = pos >= j
+            arr = pref.take(pa.array(np.where(valid, idx - j, 0), pa.int64()))
+            lags.append(pc.if_else(pa.array(valid), arr,
+                                   pa.scalar(None, pa.string())))
+        # null lags are always a PREFIX (older lags invalidate first), and
+        # "skip" DROPS all-null rows (length misalignment) — so join with
+        # replace-by-empty and strip the leading separator run, which can
+        # only be join artifacts (the first valid lag starts with a role
+        # name, never a newline)
+        joined = pc.binary_join_element_wise(
+            *lags, "\n", null_handling="replace", null_replacement="")
+        prompt = pc.if_else(pa.array(pos >= 1),
+                            pc.utf8_ltrim(joined, characters="\n"),
+                            pa.scalar(None, pa.string()))
+        out = pa.table({"conv_id": g["conv_id"], "turn_idx": g["turn_idx"],
+                        "prompt": prompt, "response": g["text"]})
+        return out.filter(
+            pc.equal(g["role"].combine_chunks(), "assistant"))
+
+    return _conv_shard_window(["conv_id", "turn_idx", "role", "text"],
+                              sft_in_shard)
+
+
+_Q_TRANSCRIPT_SFT_PAIRS_SQL = f"""
+SELECT conv_id, turn_idx,
+       string_agg(role || ': ' || text, chr(10))
+         OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN {_SFT_CONTEXT_TURNS} PRECEDING
+                        AND 1 PRECEDING) AS prompt,
+       text AS response
+FROM '{_ORACLE_CORPUS}/transcripts.parquet'
+QUALIFY role = 'assistant'
+"""
+
+
 _Q_TRANSCRIPT_TOOL_CHAINS_SQL = f"""
 WITH t AS (
   SELECT conv_id, turn_idx,
@@ -1459,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # featurization / compaction / melt relational shapes
         "transcript_context_budget": _q_transcript_context_budget,
         "transcript_tool_chains": _q_transcript_tool_chains,
+        "transcript_sft_pairs": _q_transcript_sft_pairs,
         "events_value_zscore": A.q_events_value_zscore,
         "events_latest_by_user": A.q_events_latest_by_user,
         "lineitem_unpivot": A.q_lineitem_unpivot,
@@ -1517,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_role_transitions": _Q_TRANSCRIPT_ROLE_TRANSITIONS_SQL,
         "transcript_context_budget": _transcript_context_budget_sql(),
         "transcript_tool_chains": _Q_TRANSCRIPT_TOOL_CHAINS_SQL,
+        "transcript_sft_pairs": _Q_TRANSCRIPT_SFT_PAIRS_SQL,
         "events_value_zscore": A.Q_EVENTS_VALUE_ZSCORE_SQL,
         "events_latest_by_user": A.Q_EVENTS_LATEST_BY_USER_SQL,
         "lineitem_unpivot": A.Q_LINEITEM_UNPIVOT_SQL,

@@ -902,3 +902,45 @@ def test_unpivot_shape_and_roundtrip(ray_session):
         assert (long["value"].to_numpy() == wide["value"].to_numpy()).all()
         assert (long["l_orderkey"].to_numpy()
                 == wide["l_orderkey"].to_numpy()).all()
+
+
+def test_sft_pairs_planted_shapes(ray_session, monkeypatch, tmp_path):
+    """Pin the K=4 frame, conversation-boundary isolation, the NULL prompt
+    for an assistant turn with no history, and newline-bearing text
+    surviving the join untrimmed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+
+    rows = [
+        # conv A: 6 turns, assistant at 1 (1-turn history), 5 (4-turn frame)
+        ("A", 0, "user", "q0\nmultiline"),
+        ("A", 1, "assistant", "a1"),
+        ("A", 2, "user", "q2"),
+        ("A", 3, "tool", "t3"),
+        ("A", 4, "user", "q4"),
+        ("A", 5, "assistant", "a5"),
+        # conv B: assistant FIRST turn -> NULL prompt
+        ("B", 0, "assistant", "cold-open"),
+        ("B", 1, "user", "later"),
+    ]
+    t = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": [None] * len(rows),
+    })
+    corpus = tmp_path / "sft"
+    corpus.mkdir()
+    pq.write_table(t, corpus / "transcripts.parquet")
+    monkeypatch.setattr(E, "_oracle_corpus", lambda: str(corpus))
+    got = (E._q_transcript_sft_pairs(SF_DIR).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(got) == 3
+    assert got.loc[0, "prompt"] == "user: q0\nmultiline"   # inner \n kept
+    assert got.loc[0, "response"] == "a1"
+    # turn 5 sees exactly turns 1-4, oldest first (turn 0 outside the frame)
+    assert got.loc[1, "prompt"] == ("assistant: a1\nuser: q2\n"
+                                    "tool: t3\nuser: q4")
+    assert got.loc[2, "conv_id"] == "B" and pd.isna(got.loc[2, "prompt"])
