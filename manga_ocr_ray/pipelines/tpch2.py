@@ -830,18 +830,19 @@ def q21_blocking_suppliers(sf_dir: str, k: int = 100) -> pd.DataFrame:
         lambda t: t.filter(pc.equal(t["o_orderstatus"], "F"))
                    .select(["o_orderkey"]),
         batch_format="pyarrow").materialize()
-    fk_ref = ray.put(np.sort(fkeys.to_pandas()["o_orderkey"]
-                             .to_numpy(np.int64)))
 
-    def pmax(t: pa.Table) -> pa.Table:
-        fk = ray.get(fk_ref)
-        o = t["l_orderkey"].combine_chunks().to_numpy().astype(np.int64)
-        if not fk.size:
-            return pa.table({"o": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.int64()),
-                             "d": pa.array([], pa.int64())})
-        i = np.clip(np.searchsorted(fk, o), 0, fk.size - 1)
-        t = t.filter(pa.array(fk[i] == o))
+    def pmax(t: pa.Table, fk: np.ndarray | None) -> pa.Table:
+        """Per-(order, supplier) max-shipdate block partial; ``fk`` is the
+        broadcast sorted F-orderkey array on the small path (None when the
+        semi-join already pruned the stream)."""
+        if fk is not None:
+            o = t["l_orderkey"].combine_chunks().to_numpy().astype(np.int64)
+            if not fk.size:
+                return pa.table({"o": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            i = np.clip(np.searchsorted(fk, o), 0, fk.size - 1)
+            t = t.filter(pa.array(fk[i] == o))
         df = pd.DataFrame({
             "o": t["l_orderkey"].to_pandas().astype(np.int64),
             "s": t["l_suppkey"].to_pandas().astype(np.int64),
@@ -852,8 +853,24 @@ def q21_blocking_suppliers(sf_dir: str, k: int = 100) -> pd.DataFrame:
                          "s": pa.array(g["s"], pa.int64()),
                          "d": pa.array(g["d"], pa.int64())})
 
-    partials = _li(sf_dir, ["l_orderkey", "l_suppkey", "l_shipdate"]) \
-        .map_batches(pmax, batch_format="pyarrow").materialize()
+    li = _li(sf_dir, ["l_orderkey", "l_suppkey", "l_shipdate"])
+    # cardinality switch on the F-orderkey set: 'F' status covers ~half of
+    # orders, so at web scale this side is corpus-sized — broadcast a sorted
+    # key array only below the budget, bloom-prune + exact semi-join above
+    # (the lineitem_bloom_semi machinery; only survivors reach the partial)
+    if fkeys.count() <= _broadcast_max_rows():
+        fk_ref = ray.put(np.sort(fkeys.to_pandas()["o_orderkey"]
+                                 .to_numpy(np.int64)))
+        partials = li.map_batches(
+            lambda t: pmax(t, ray.get(fk_ref)),
+            batch_format="pyarrow").materialize()
+    else:
+        from ..stages.bloomjoin import bloom_semi_join
+
+        pruned = bloom_semi_join(li, "l_orderkey", fkeys, "o_orderkey",
+                                 num_partitions=_join_partitions())
+        partials = pruned.map_batches(
+            lambda t: pmax(t, None), batch_format="pyarrow").materialize()
 
     def blockers(df: pd.DataFrame) -> pd.DataFrame:
         """(order, supplier, max shipdate) → suppliers that are the UNIQUE

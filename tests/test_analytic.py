@@ -944,3 +944,17 @@ def test_sft_pairs_planted_shapes(ray_session, monkeypatch, tmp_path):
     assert got.loc[1, "prompt"] == ("assistant: a1\nuser: q2\n"
                                     "tool: t3\nuser: q4")
     assert got.loc[2, "conv_id"] == "B" and pd.isna(got.loc[2, "prompt"])
+
+
+def test_q21_broadcast_and_bloom_plans_agree(ray_session, monkeypatch):
+    """The F-orderkey side is ~half of orders — corpus-sized at web scale —
+    so q21 must produce identical blockers through the broadcast plan and
+    the bloom-prune + exact semi-join plan above the switch."""
+    from manga_ocr_ray.pipelines.tpch2 import q21_blocking_suppliers
+
+    outs = []
+    for env in ["5000000", "0"]:   # broadcast plan, then forced bloom plan
+        monkeypatch.setenv("GRAFT_BROADCAST_MAX_ROWS", env)
+        outs.append(q21_blocking_suppliers(SF_DIR).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) > 0
