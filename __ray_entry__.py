@@ -690,6 +690,19 @@ FROM w WHERE to_role IS NOT NULL GROUP BY 1, 2
 _CONTEXT_BUDGET_TOKENS = 512
 
 
+def _conv_segments(same_next: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-shard conversation-boundary helpers shared by the window
+    callbacks: ``same_prev[i]`` (row i-1 is the same conversation), the
+    first-row index of each conversation, and each row's 0-based position
+    within its conversation."""
+    n = len(same_next)
+    same_prev = np.zeros(n, dtype=bool)
+    same_prev[1:] = same_next[:-1]
+    starts = np.flatnonzero(~same_prev)
+    pos = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+    return same_prev, starts, pos
+
+
 def _q_transcript_context_budget(sf_dir: str):
     """Per-turn RUNNING context size per conversation — ``sum(n_tokens)
     OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED
@@ -704,12 +717,14 @@ def _q_transcript_context_budget(sf_dir: str):
 
     def cum_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
         n = g.num_rows
-        ntok = pc.cast(token_count_array(g["text"].combine_chunks()),
-                       pa.int64()).to_numpy(zero_copy_only=False)
+        # NULL text counts as 0 tokens (the SQL twin's windowed sum skips
+        # NULLs); without the fill, one NaN poisons the cumsum for every
+        # later row in the shard
+        ntok = pc.cast(
+            token_count_array(g["text"].combine_chunks().fill_null("")),
+            pa.int64()).to_numpy(zero_copy_only=False)
         cum = np.cumsum(ntok)
-        same_prev = np.zeros(n, dtype=bool)
-        same_prev[1:] = same_next[:-1]
-        starts = np.flatnonzero(~same_prev)          # first turn of each conv
+        _, starts, _ = _conv_segments(same_next)     # first turn of each conv
         base = np.repeat(cum[starts] - ntok[starts],
                          np.diff(np.append(starts, n)))
         seg = cum - base
@@ -754,8 +769,7 @@ def _q_transcript_tool_chains(sf_dir: str):
         n = g.num_rows
         tool = g["tool"].combine_chunks().fill_null("")
         istool = pc.not_equal(tool, "").to_numpy(zero_copy_only=False)
-        same_prev = np.zeros(n, dtype=bool)
-        same_prev[1:] = same_next[:-1]
+        same_prev, _, _ = _conv_segments(same_next)
         prev_tool = np.zeros(n, dtype=bool)
         prev_tool[1:] = istool[:-1]
         run_start = istool & ~(prev_tool & same_prev)
@@ -796,10 +810,10 @@ def _q_transcript_sft_pairs(sf_dir: str):
 
     def sft_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
         n = g.num_rows
-        same_prev = np.zeros(n, dtype=bool)
-        same_prev[1:] = same_next[:-1]
-        starts = np.flatnonzero(~same_prev)
-        pos = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        _, _, pos = _conv_segments(same_next)
+        # NULL role or text → NULL pref, exactly the element string_agg
+        # skips in the oracle.  pref itself never contains NUL (DuckDB
+        # strings can't even hold one), so NUL is a safe join sentinel.
         pref = pc.binary_join_element_wise(
             g["role"].combine_chunks(), g["text"].combine_chunks(), ": ")
         idx = np.arange(n)
@@ -809,15 +823,18 @@ def _q_transcript_sft_pairs(sf_dir: str):
             arr = pref.take(pa.array(np.where(valid, idx - j, 0), pa.int64()))
             lags.append(pc.if_else(pa.array(valid), arr,
                                    pa.scalar(None, pa.string())))
-        # null lags are always a PREFIX (older lags invalidate first), and
-        # "skip" DROPS all-null rows (length misalignment) — so join with
-        # replace-by-empty and strip the leading separator run, which can
-        # only be join artifacts (the first valid lag starts with a role
-        # name, never a newline)
+        # string_agg-skip semantics with nulls ANYWHERE in the frame (a
+        # boundary prefix OR a mid-frame null role/text): join with a NUL
+        # sentinel, then drop each sentinel with one adjacent separator —
+        # "\x00\n" for non-final skips, "\n\x00" for a final skip, bare
+        # "\x00" when every lag was null.  pyarrow's own "skip" mode is
+        # unusable here: it DROPS all-null rows, misaligning the batch.
         joined = pc.binary_join_element_wise(
-            *lags, "\n", null_handling="replace", null_replacement="")
-        prompt = pc.if_else(pa.array(pos >= 1),
-                            pc.utf8_ltrim(joined, characters="\n"),
+            *lags, "\n", null_handling="replace", null_replacement="\x00")
+        for pat in ("\x00\n", "\n\x00", "\x00"):
+            joined = pc.replace_substring(joined, pattern=pat, replacement="")
+        # empty ⟺ no surviving element (pref always contains ": ") ⟺ SQL NULL
+        prompt = pc.if_else(pc.not_equal(joined, ""), joined,
                             pa.scalar(None, pa.string()))
         out = pa.table({"conv_id": g["conv_id"], "turn_idx": g["turn_idx"],
                         "prompt": prompt, "response": g["text"]})

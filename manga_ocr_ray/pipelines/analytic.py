@@ -2490,6 +2490,14 @@ def q_events_value_zscore(sf_dir: str) -> rd.Dataset:
         codes = enc.indices.to_numpy(zero_copy_only=False)
         vocab = enc.dictionary.to_pylist()
         val_c = _cents(t["value"]).to_numpy()
+        if val_c.size:
+            # enforce the documented cents² headroom — numpy int64 overflow
+            # is a silent wraparound, not an error (exact Python-int bound)
+            m = int(np.abs(val_c).max())
+            if val_c.size * m * m >= 2 ** 62:
+                raise ValueError(
+                    "events_value_zscore: block cents² sum would overflow "
+                    "int64 — split hi/lo words or shrink the block size")
         n, s, s2 = [], [], []
         for k in range(len(vocab)):   # ≤ domain iterations, not rows
             m = codes == k
@@ -2537,6 +2545,21 @@ FROM events
 """
 
 
+def _latest_event_block(t: pa.Table) -> pa.Table:
+    """Block-local latest-event-per-user partial (max (ts, event_id) per
+    user via one vectorized lexsort); module-level so the empty-block guard
+    is directly testable."""
+    if not t.num_rows:   # np.r_[mask-of-0, True] misindexes an empty take
+        return t
+    u = t["user_id"].combine_chunks().to_numpy()
+    ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
+    eid = t["event_id"].combine_chunks().to_numpy()
+    order = np.lexsort((eid, ts, u))          # ascending; last per user wins
+    su = u[order]
+    last = np.r_[su[1:] != su[:-1], True]
+    return t.take(pa.array(order[last]))
+
+
 def q_events_latest_by_user(sf_dir: str) -> rd.Dataset:
     """Latest-record-wins compaction: each user's single most recent event
     row (ts, then event_id as the deterministic tie-break) — the CDC/upsert
@@ -2548,20 +2571,11 @@ def q_events_latest_by_user(sf_dir: str) -> rd.Dataset:
 
     ds = rd.read_parquet(_pq(sf_dir, "events"))
 
-    def block_latest(t: pa.Table) -> pa.Table:
-        u = t["user_id"].combine_chunks().to_numpy()
-        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
-        eid = t["event_id"].combine_chunks().to_numpy()
-        order = np.lexsort((eid, ts, u))          # ascending; last per user wins
-        su = u[order]
-        last = np.r_[su[1:] != su[:-1], True]
-        return t.take(pa.array(order[last]))
-
     def shard_latest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         return g[g["user_id"].ne(g["user_id"].shift(-1))].drop(columns="shard")
 
-    partials = ds.map_batches(block_latest, batch_format="pyarrow")
+    partials = ds.map_batches(_latest_event_block, batch_format="pyarrow")
     return _shard_by_int(partials, "user_id").groupby("shard").map_groups(
         shard_latest, batch_format="pandas")
 

@@ -958,3 +958,87 @@ def test_q21_broadcast_and_bloom_plans_agree(ray_session, monkeypatch):
         outs.append(q21_blocking_suppliers(SF_DIR).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert len(outs[0]) > 0
+
+
+def test_latest_by_user_empty_block_guard(ray_session):
+    """A zero-row block must pass the partial kernel untouched (np.r_ of an
+    empty comparison plus [True] would misindex an empty take)."""
+    import pyarrow as pa
+    from manga_ocr_ray.pipelines.analytic import _latest_event_block
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    empty = pa.Table.from_pandas(ev.head(0))
+    out = _latest_event_block(empty)
+    assert out.num_rows == 0 and out.schema.names == empty.schema.names
+    full = _latest_event_block(pa.Table.from_pandas(ev.head(100)))
+    assert full.num_rows == ev.head(100)["user_id"].nunique()
+
+
+def test_sft_pairs_null_role_text_skip_semantics(ray_session, monkeypatch,
+                                                 tmp_path):
+    """A NULL role or text inside the history frame is SKIPPED (no blank
+    line), exactly like the oracle's string_agg; an all-null history is a
+    NULL prompt."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+
+    rows = [
+        ("A", 0, "user", "q0"),
+        ("A", 1, None, "ghost"),        # null role -> skipped element
+        ("A", 2, "tool", None),         # null text -> skipped element
+        ("A", 3, "user", "q3"),
+        ("A", 4, "assistant", "a4"),
+        ("B", 0, "user", None),         # only-null history
+        ("B", 1, "assistant", "b1"),
+    ]
+    t = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": [None] * len(rows),
+    })
+    corpus = tmp_path / "sftnull"
+    corpus.mkdir()
+    pq.write_table(t, corpus / "transcripts.parquet")
+    monkeypatch.setattr(E, "_oracle_corpus", lambda: str(corpus))
+    got = (E._q_transcript_sft_pairs(SF_DIR).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert got.loc[0, "prompt"] == "user: q0\nuser: q3"
+    assert pd.isna(got.loc[1, "prompt"])        # conv B: history all null
+    # and the DuckDB twin agrees verbatim
+    sql = f"""
+SELECT conv_id, turn_idx,
+       string_agg(role || ': ' || text, chr(10))
+         OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prompt,
+       text AS response
+FROM '{corpus}/transcripts.parquet' QUALIFY role = 'assistant'
+"""
+    want = (duckdb.sql(sql).df()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_context_budget_null_text_counts_zero(ray_session, monkeypatch,
+                                              tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+
+    t = pa.table({
+        "conv_id": ["A"] * 3,
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "role": ["user", "assistant", "user"],
+        "text": ["one two", None, "three"],
+        "tool": [None] * 3,
+    })
+    corpus = tmp_path / "cbnull"
+    corpus.mkdir()
+    pq.write_table(t, corpus / "transcripts.parquet")
+    monkeypatch.setattr(E, "_oracle_corpus", lambda: str(corpus))
+    got = (E._q_transcript_context_budget(SF_DIR).to_pandas()
+           .sort_values("turn_idx"))
+    assert got["cum_tokens"].tolist() == [2, 2, 3]
