@@ -3,7 +3,7 @@
 # new maintainer runs on a fresh checkout (or a real cluster) to re-establish
 # every claim this repo makes.
 #
-#   bash scripts/reproduce.sh            # full: pytest + 142-query sweeps at
+#   bash scripts/reproduce.sh            # full: pytest + all-query sweeps at
 #                                        # sf0.001 AND sf0.01 + two-level scaling
 #   GRAFT_REPRO_FAST=1 bash scripts/... # skip the scaling protocol (CI-sized)
 #
