@@ -556,7 +556,8 @@ GROUP BY conv_id
 
 
 def _conv_shard_window(columns: list[str], per_shard, *,
-                       num_shards: int | None = None):
+                       num_shards: int | None = None,
+                       corpus: str | None = None):
     """Shared scaffolding for `lead() OVER (PARTITION BY conv_id ORDER BY
     turn_idx)`-shaped transcript windows (review fix r5 — tool-latency and
     role-transitions previously copy-pasted it): read the projected
@@ -573,7 +574,7 @@ def _conv_shard_window(columns: list[str], per_shard, *,
     import ray.data as rd
     from manga_ocr_ray.functions.hashing import hash64_array
 
-    ds = rd.read_parquet(f"{_oracle_corpus()}/transcripts.parquet",
+    ds = rd.read_parquet(f"{corpus or _oracle_corpus()}/transcripts.parquet",
                          columns=columns)
     if num_shards is None:
         num_shards = max(64, int(ds.size_bytes() or 0) // (128 << 20))
@@ -925,6 +926,248 @@ SELECT t.tool, CAST(count(*) AS BIGINT) AS n_turns,
 FROM '{_ORACLE_CORPUS}/transcripts.parquet' t
 JOIN '{_ORACLE_CORPUS}/expected.parquet' e USING (conv_id, turn_idx)
 GROUP BY t.tool
+"""
+
+
+# ---- transcript audit corpus (planted retry-forks and stuck-loops) --------
+
+_AUDIT_CORPUS = "/tmp/graft_audit_corpus_n400_s42_v1"
+
+
+def _audit_corpus() -> str:
+    """Derived transcript corpus with PLANTED retry-forks and stuck-loops,
+    written once (atomic, content-deterministic — pure table ops over the
+    fixed oracle corpus, no RNG).  The base corpus is generator-unique by
+    construction, so the fork/loop audits would be vacuously empty on it;
+    planting known shapes keeps their oracles discriminating — the same
+    methodology as ``corpus.py``'s planted ruby markup and the sft planted
+    corpora.  Every 25th conversation (sorted order) gains a ``~fork`` twin
+    sharing its first 3 turns verbatim (a user retry), and every 25th
+    offset by 7 gains a ``~loop`` twin whose final turn repeats 3 more
+    times (a stuck agent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{_AUDIT_CORPUS}/transcripts.parquet"
+    if not os.path.exists(path):
+        base = pq.read_table(f"{_oracle_corpus()}/transcripts.parquet")
+        df = base.to_pandas().sort_values(["conv_id", "turn_idx"])
+        convs = sorted(df["conv_id"].unique())
+        parts = [df]
+        for cid in convs[::25]:
+            g = df[df["conv_id"] == cid]
+            twin = pd.concat([g.head(3), g.iloc[3:5].assign(
+                text=lambda x: "(retry) " + x["text"].fillna(""))])
+            parts.append(twin.assign(conv_id=cid + "~fork"))
+        for cid in convs[7::25]:
+            g = df[df["conv_id"] == cid]
+            reps = pd.concat([g.tail(1)] * 3, ignore_index=True)
+            reps["turn_idx"] = (int(g["turn_idx"].max())
+                                + np.arange(1, 4)).astype("int32")
+            parts.append(pd.concat([g, reps]).assign(conv_id=cid + "~loop"))
+        out = pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                   schema=base.schema, preserve_index=False)
+        os.makedirs(_AUDIT_CORPUS, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+    return _AUDIT_CORPUS
+
+
+_PREFIX_TURNS = 3
+
+
+def _q_transcript_prefix_forks(sf_dir: str):
+    """Retry/fork detection: groups of conversations sharing an IDENTICAL
+    first-``_PREFIX_TURNS``-turn (role, text) prefix — re-submitted prompts
+    and agent forks duplicate their opening turns, and a training-data
+    pipeline wants one representative per fork group.  Plan: the prefix
+    string is assembled per hash(conv_id) shard (conversations never split,
+    one Arrow sort + K shifted takes — no per-conversation Python), then
+    only (128-bit prefix hash, conv_id) pairs move through ONE groupby —
+    prefix text never re-shuffles, the conv_dedup/doc_exact_dedup key
+    argument (expected collisions ~1e-14 at 10^12 conversations)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+    from manga_ocr_ray.functions.hashing import content_hash128
+
+    def prefix_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        _, starts, _ = _conv_segments(same_next)
+        ends = np.append(starts[1:], n)
+        part = pc.binary_join_element_wise(
+            g["role"].combine_chunks().fill_null(""),
+            g["text"].combine_chunks().fill_null("\x1d"), "\x1f")
+        parr = part.to_numpy(zero_copy_only=False)
+        pre = pd.Series(parr[starts], dtype=object)
+        for k in range(1, _PREFIX_TURNS):
+            m = starts + k < ends
+            nxt = pd.Series(parr[np.minimum(starts + k, n - 1)], dtype=object)
+            pre = pre.where(~m, pre + "\x1e" + nxt)
+        return pa.table({
+            "conv_id": g["conv_id"].combine_chunks().take(pa.array(starts)),
+            "prefix": pa.array(pre, pa.string()),
+        })
+
+    pre_ds = _conv_shard_window(["conv_id", "turn_idx", "role", "text"],
+                                prefix_in_shard, corpus=_audit_corpus())
+
+    def keyed(t: pa.Table) -> pa.Table:
+        lo, hi = content_hash128(t["prefix"])
+        return pa.table({"conv_id": t["conv_id"],
+                         "h_lo": pa.array(lo.view(np.int64)),
+                         "h_hi": pa.array(hi.view(np.int64))})
+
+    groups = (pre_ds.map_batches(keyed, batch_format="pyarrow")
+              .groupby(["h_lo", "h_hi"])
+              .aggregate(Min("conv_id", alias_name="fork_rep"),
+                         Count(alias_name="n_convs")))
+    return (groups.filter(expr="n_convs >= 2")
+            .select_columns(["fork_rep", "n_convs"]))
+
+
+_Q_TRANSCRIPT_PREFIX_FORKS_SQL = f"""
+WITH firstk AS (
+  SELECT conv_id, role || chr(31) || coalesce(text, chr(29)) AS part,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM '{_AUDIT_CORPUS}/transcripts.parquet'),
+p AS (SELECT conv_id, string_agg(part, chr(30) ORDER BY rn) AS pre
+      FROM firstk WHERE rn <= {_PREFIX_TURNS} GROUP BY conv_id)
+SELECT min(conv_id) AS fork_rep, CAST(count(*) AS BIGINT) AS n_convs
+FROM p GROUP BY pre HAVING count(*) >= 2
+"""
+
+
+def _q_transcript_loop_detect(sf_dir: str):
+    """Stuck-agent loop audit: per conversation, how many turns REPEAT the
+    immediately preceding turn's text verbatim, and the first turn index
+    where that happens — a run of identical assistant messages is the
+    signature of a retry loop, and a curation pass drops or truncates those
+    conversations.  Pure shard-local window (``lag(text)`` equality per
+    hash(conv_id) shard, per-conversation reduction via ``np.add.at`` /
+    ``np.minimum.at``): the corpus never re-exchanges; output is
+    conversation-sized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def loops_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        same_prev, starts, _ = _conv_segments(same_next)
+        text = g["text"].combine_chunks()
+        eq_prev = np.zeros(n, dtype=bool)
+        if n > 1:
+            eq_prev[1:] = pc.equal(text.slice(1), text.slice(0, n - 1)) \
+                .fill_null(False).to_numpy(zero_copy_only=False)
+        rep = same_prev & eq_prev
+        conv_ord = (np.cumsum(~same_prev) - 1) if n else np.zeros(0, np.int64)
+        n_convs = len(starts)
+        counts = np.zeros(n_convs, dtype=np.int64)
+        np.add.at(counts, conv_ord[rep], 1)
+        turn = g["turn_idx"].combine_chunks().to_numpy().astype(np.int64)
+        first = np.full(n_convs, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, conv_ord[rep], turn[rep])
+        return pa.table({
+            "conv_id": g["conv_id"].combine_chunks().take(pa.array(starts)),
+            "n_repeat_turns": pa.array(counts),
+            "first_repeat_turn": pa.array(
+                np.where(counts > 0, first, 0).astype(np.int32),
+                pa.int32(), mask=counts == 0),
+        })
+
+    return _conv_shard_window(["conv_id", "turn_idx", "text"],
+                              loops_in_shard, corpus=_audit_corpus())
+
+
+_Q_TRANSCRIPT_LOOP_DETECT_SQL = f"""
+WITH r AS (
+  SELECT conv_id, turn_idx,
+         coalesce(text = lag(text) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx), FALSE) AS rep
+  FROM '{_AUDIT_CORPUS}/transcripts.parquet')
+SELECT conv_id,
+       CAST(count(*) FILTER (WHERE rep) AS BIGINT) AS n_repeat_turns,
+       min(turn_idx) FILTER (WHERE rep) AS first_repeat_turn
+FROM r GROUP BY conv_id
+"""
+
+
+def _q_transcript_curation_gate(sf_dir: str):
+    """Conversation-level TRAINING-DATA GATE — the chat-corpus analog of
+    :func:`manga_ocr_ray.pipelines.documents.q_doc_gopher_rules`: keep a
+    conversation iff (a) 4–100 turns, (b) it has at least one user AND one
+    assistant turn, (c) zero role-alternation violations (adjacent
+    same-role turns, tool runs exempt — consecutive tool results are
+    legitimate), and (d) it ends on an assistant turn (SFT-ready).  All
+    rules are integer/boolean — no float tie can flip the gate.  One pass
+    per hash(conv_id) shard computes every rule (``np.add.at`` per-conv
+    reductions over the sorted window); output is conversation-sized, the
+    corpus never re-exchanges."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def gate_in_shard(g: pa.Table, same_next: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        same_prev, starts, _ = _conv_segments(same_next)
+        ends = np.append(starts[1:], n)
+        role = g["role"].combine_chunks().fill_null("")
+        rnp = role.to_numpy(zero_copy_only=False)
+        conv_ord = (np.cumsum(~same_prev) - 1) if n else np.zeros(0, np.int64)
+        n_convs = len(starts)
+        n_turns = (ends - starts).astype(np.int64)
+
+        def per_conv_count(mask: np.ndarray) -> np.ndarray:
+            out = np.zeros(n_convs, dtype=np.int64)
+            np.add.at(out, conv_ord[mask], 1)
+            return out
+
+        eq_prev = np.zeros(n, dtype=bool)
+        if n > 1:
+            eq_prev[1:] = rnp[1:] == rnp[:-1]
+        viol = per_conv_count(same_prev & eq_prev & (rnp != "tool"))
+        n_user = per_conv_count(rnp == "user")
+        n_assistant = per_conv_count(rnp == "assistant")
+        ends_assistant = rnp[ends - 1] == "assistant" if n else \
+            np.zeros(0, bool)
+        r_len = (n_turns >= 4) & (n_turns <= 100)
+        r_both = (n_user > 0) & (n_assistant > 0)
+        r_alt = viol == 0
+        return pa.table({
+            "conv_id": g["conv_id"].combine_chunks().take(pa.array(starts)),
+            "n_turns": pa.array(n_turns),
+            "n_role_repeats": pa.array(viol),
+            "r_len": pa.array(r_len),
+            "r_both_roles": pa.array(r_both),
+            "r_alternation": pa.array(r_alt),
+            "r_ends_assistant": pa.array(ends_assistant),
+            "keep": pa.array(r_len & r_both & r_alt & ends_assistant),
+        })
+
+    return _conv_shard_window(["conv_id", "turn_idx", "role"], gate_in_shard)
+
+
+_Q_TRANSCRIPT_CURATION_GATE_SQL = f"""
+WITH v AS (
+  SELECT conv_id, turn_idx, role,
+         coalesce(role = lag(role) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx)
+                  AND role <> 'tool', FALSE) AS viol
+  FROM '{_ORACLE_CORPUS}/transcripts.parquet'),
+g AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(*) FILTER (WHERE viol) AS BIGINT) AS n_role_repeats,
+         count(*) FILTER (WHERE role = 'user') > 0 AS has_user,
+         count(*) FILTER (WHERE role = 'assistant') > 0 AS has_assistant,
+         arg_max(role, turn_idx) = 'assistant' AS r_ends_assistant
+  FROM v GROUP BY conv_id)
+SELECT conv_id, n_turns, n_role_repeats,
+       n_turns BETWEEN 4 AND 100 AS r_len,
+       has_user AND has_assistant AS r_both_roles,
+       n_role_repeats = 0 AS r_alternation,
+       r_ends_assistant,
+       (n_turns BETWEEN 4 AND 100 AND has_user AND has_assistant
+        AND n_role_repeats = 0 AND r_ends_assistant) AS keep
+FROM g
 """
 
 
@@ -1541,6 +1784,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": A.q_events_value_zscore,
         "events_latest_by_user": A.q_events_latest_by_user,
         "lineitem_unpivot": A.q_lineitem_unpivot,
+        # round-5 session-6 wave: transcript fork/loop audits (planted
+        # audit corpus), event debounce dedup, Gopher static quality rules
+        "transcript_prefix_forks": _q_transcript_prefix_forks,
+        "transcript_loop_detect": _q_transcript_loop_detect,
+        "transcript_curation_gate": _q_transcript_curation_gate,
+        "events_dedup_window": A.q_events_dedup_window,
+        "doc_gopher_rules": D.q_doc_gopher_rules,
         "embedding_topk": _q_embedding_topk,
         "doc_scrub_urls": D.q_doc_scrub_urls,
         "suppliers_with_bigparts": R.q_suppliers_with_bigparts,
@@ -1600,6 +1850,11 @@ def oracle_sql() -> dict[str, str]:
         "events_value_zscore": A.Q_EVENTS_VALUE_ZSCORE_SQL,
         "events_latest_by_user": A.Q_EVENTS_LATEST_BY_USER_SQL,
         "lineitem_unpivot": A.Q_LINEITEM_UNPIVOT_SQL,
+        "transcript_prefix_forks": _Q_TRANSCRIPT_PREFIX_FORKS_SQL,
+        "transcript_loop_detect": _Q_TRANSCRIPT_LOOP_DETECT_SQL,
+        "transcript_curation_gate": _Q_TRANSCRIPT_CURATION_GATE_SQL,
+        "events_dedup_window": A.Q_EVENTS_DEDUP_WINDOW_SQL,
+        "doc_gopher_rules": D.Q_DOC_GOPHER_RULES_SQL,
         "doc_table_checksum": D.Q_DOC_TABLE_CHECKSUM_SQL,
         "events_grouping_sets": A.Q_EVENTS_GROUPING_SETS_SQL,
         "transcript_strip_ratio": _Q_TRANSCRIPT_STRIP_RATIO_SQL,

@@ -2589,6 +2589,53 @@ WHERE rn = 1
 """
 
 
+_DEBOUNCE_WINDOW_S = 86400
+
+
+def q_events_dedup_window(sf_dir: str,
+                          window_s: int = _DEBOUNCE_WINDOW_S) -> rd.Dataset:
+    """Debounce dedup: drop an event when the PREVIOUS event of the same
+    (user_id, event_type) is within ``window_s`` seconds — the telemetry /
+    notification-digest dedup every event pipeline runs ("at most one
+    signup-reminder per user per day").  Lag-against-previous-EVENT
+    semantics (not previous-kept), so the decision depends only on each
+    row's immediate predecessor in (user_id, event_type, ts, event_id)
+    order: one projected exchange by hash(user_id), then a single vectorized
+    lexsort + int64-µs diff per shard.  Block-local pre-dropping is NOT
+    possible here (a row's predecessor may live in another block), so the
+    exchange carries the 4 projected columns — 10^12 rows move once,
+    32 B/row, and nothing corpus-sized ever funnels through the driver."""
+    from .relational import _shard_by_int
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    w_us = window_s * 1_000_000
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        new_key = (g["user_id"].ne(g["user_id"].shift())
+                   | g["event_type"].ne(g["event_type"].shift())).to_numpy()
+        d = np.zeros(len(g), dtype=np.int64)
+        d[1:] = ts[1:] - ts[:-1]
+        return g.loc[new_key | (d > w_us)].drop(columns="shard")
+
+    return (_shard_by_int(ds, "user_id").groupby("shard")
+            .map_groups(debounce, batch_format="pandas"))
+
+
+Q_EVENTS_DEDUP_WINDOW_SQL = f"""
+SELECT event_id, ts, user_id, event_type FROM (
+  SELECT event_id, ts, user_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS d
+  FROM events)
+WHERE d IS NULL OR d > {_DEBOUNCE_WINDOW_S * 1_000_000}
+"""
+
+
 def q_lineitem_unpivot(sf_dir: str) -> rd.Dataset:
     """UNPIVOT / melt — wide measure columns to (key, measure, value) long
     form, the inverse of the pivot family.  Pure per-batch stacking (one

@@ -140,6 +140,72 @@ FROM documents
 """
 
 
+def q_doc_gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Gopher-style STATIC quality ruleset (Rae et al. 2021, appendix A1.1 —
+    the published rule filter, vs :func:`q_doc_quality_gate`'s corpus-
+    percentile cutoff): per document, word count in [50, 100k], mean
+    alphabetic word length in [3, 10], symbol-to-word ratio (``#`` /
+    ellipsis) ≤ 0.1, and ≥ 2 English stopwords present.  All four rules are
+    integer comparisons (``3·words ≤ alpha`` instead of ``alpha/words ≥ 3``)
+    so no float tie can flip a boolean between this plan and the SQL twin.
+    One RE2 pass per rule inside ``map_batches`` — zero shuffle, the ideal
+    100-TB shape (the gate is a pure map)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        text = t["text"]
+
+        def n(pattern: str) -> pa.Array:
+            return pc.cast(pc.count_substring_regex(text, pattern=pattern),
+                           pa.int64())
+
+        words, alpha = n(TOKEN_PATTERN), n("[A-Za-z]")
+        stop = n(r"(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b")
+        sym = n(r"#|\.\.\.|…")
+        r_words = pc.and_(pc.greater_equal(words, 50),
+                          pc.less_equal(words, 100_000))
+        r_len = pc.and_(
+            pc.less_equal(pc.multiply(words, 3), alpha),
+            pc.less_equal(alpha, pc.multiply(words, 10)))
+        r_sym = pc.less_equal(pc.multiply(sym, 10), words)
+        r_stop = pc.greater_equal(stop, 2)
+        mean_len = pc.divide(
+            pc.cast(alpha, pa.float64()),
+            pc.cast(pc.max_element_wise(words, pa.scalar(1, pa.int64())),
+                    pa.float64()))
+        return pa.table({
+            "doc_id": t["doc_id"], "n_words": words,
+            "mean_word_len": mean_len,
+            "r_word_count": r_words, "r_mean_len": r_len,
+            "r_symbol": r_sym, "r_stopwords": r_stop,
+            "keep": pc.and_(pc.and_(r_words, r_len),
+                            pc.and_(r_sym, r_stop)),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+Q_DOC_GOPHER_RULES_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b')) AS n_stop,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+       n_words BETWEEN 50 AND 100000 AS r_word_count,
+       (3 * n_words <= n_alpha AND n_alpha <= 10 * n_words) AS r_mean_len,
+       10 * n_sym <= n_words AS r_symbol,
+       n_stop >= 2 AS r_stopwords,
+       (n_words BETWEEN 50 AND 100000
+        AND 3 * n_words <= n_alpha AND n_alpha <= 10 * n_words
+        AND 10 * n_sym <= n_words AND n_stop >= 2) AS keep
+FROM s
+"""
+
+
 # ---- dedup -----------------------------------------------------------------
 
 def q_doc_exact_dedup(sf_dir: str) -> rd.Dataset:
