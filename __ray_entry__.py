@@ -1092,6 +1092,76 @@ FROM r GROUP BY conv_id
 """
 
 
+def _q_transcript_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level NEAR-dup triage on RAW transcripts — the
+    pre-extraction composition (ordered raw-turn merge → MinHash+LSH bands
+    → exact-Jaccard verify) that drops re-submitted/forked conversations
+    BEFORE extraction cost is paid.  The audit corpus's planted ``~loop``
+    twins (J ≈ 0.97–1.0) and long-prefix ``~fork`` twins (J up to 0.97)
+    are exactly what it must catch; threshold 0.6 sits in a measured
+    corpus gap (nearest pair Jaccards 0.567 / 0.669 — no float-tie risk,
+    the ADVICE r4 margin rule).  conv_id strings ride the band shuffles as
+    64-bit hashes; the string ids come back via a conversation-sized map
+    (at web scale, swap the driver map for ``minhash_lsh_pairs_ds`` + one
+    hash-keyed conv-id join — pair output is conversation-sized either
+    way)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from manga_ocr_ray.functions.hashing import hash64_array
+    from manga_ocr_ray.pipelines.extract import conversation_merge
+    from manga_ocr_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{_audit_corpus()}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "text"])
+    merged = conversation_merge(ds, text_col="text", chunk_size=64)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = hash64_array(t["conv_id"]).view(np.int64)
+        return pa.table({"cid": pa.array(h), "text": t["merged_text"]})
+
+    pairs = minhash_lsh_pairs(merged.map_batches(keyed, batch_format="pyarrow"),
+                              threshold=0.6, num_hashes=128, bands=64,
+                              id_col="cid", text_col="text")
+    ids = (rd.read_parquet(f"{_audit_corpus()}/transcripts.parquet",
+                           columns=["conv_id"])
+           .map_batches(lambda t: pa.table(
+               {"conv_id": pc.unique(t["conv_id"].combine_chunks())}),
+               batch_format="pyarrow")
+           .to_pandas()["conv_id"].drop_duplicates())
+    m = dict(zip(hash64_array(pa.array(ids)).view(np.int64), ids))
+    a = pairs["id_a"].map(m).to_numpy(dtype=object)
+    b = pairs["id_b"].map(m).to_numpy(dtype=object)
+    out = pd.DataFrame({"conv_a": np.minimum(a, b).astype(str),
+                        "conv_b": np.maximum(a, b).astype(str)})
+    return out.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+
+
+def _transcript_near_dup_sql() -> str:
+    from manga_ocr_ray.functions.textstats import SHINGLE_TOKEN_PATTERN
+
+    return f"""
+WITH m AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+           FROM '{_AUDIT_CORPUS}/transcripts.parquet' GROUP BY conv_id),
+toks AS (SELECT conv_id,
+                regexp_extract_all(lower(text), '{SHINGLE_TOKEN_PATTERN}') ws
+         FROM m),
+grams AS (SELECT conv_id,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_distinct(list_transform(
+                               generate_series(1, len(ws)-2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                 END AS gs
+          FROM toks)
+SELECT conv_a, conv_b FROM (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+         len(list_intersect(a.gs, b.gs)) * 1.0
+           / len(list_distinct(list_concat(a.gs, b.gs))) AS j
+  FROM grams a JOIN grams b ON a.conv_id < b.conv_id) t
+WHERE j >= 0.6
+"""
+
+
 def _q_transcript_curation_gate(sf_dir: str):
     """Conversation-level TRAINING-DATA GATE — the chat-corpus analog of
     :func:`manga_ocr_ray.pipelines.documents.q_doc_gopher_rules`: keep a
@@ -1789,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_prefix_forks": _q_transcript_prefix_forks,
         "transcript_loop_detect": _q_transcript_loop_detect,
         "transcript_curation_gate": _q_transcript_curation_gate,
+        "transcript_near_dup": _q_transcript_near_dup,
         "events_dedup_window": A.q_events_dedup_window,
         "doc_gopher_rules": D.q_doc_gopher_rules,
         "embedding_topk": _q_embedding_topk,
@@ -1853,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_prefix_forks": _Q_TRANSCRIPT_PREFIX_FORKS_SQL,
         "transcript_loop_detect": _Q_TRANSCRIPT_LOOP_DETECT_SQL,
         "transcript_curation_gate": _Q_TRANSCRIPT_CURATION_GATE_SQL,
+        "transcript_near_dup": _transcript_near_dup_sql(),
         "events_dedup_window": A.Q_EVENTS_DEDUP_WINDOW_SQL,
         "doc_gopher_rules": D.Q_DOC_GOPHER_RULES_SQL,
         "doc_table_checksum": D.Q_DOC_TABLE_CHECKSUM_SQL,

@@ -173,6 +173,24 @@ def test_curation_gate_full_corpus_matches_pandas(ray_session):
     assert got["keep"].any() and not got["keep"].all()
 
 
+# ---- transcript_near_dup -------------------------------------------------------
+
+def test_transcript_near_dup_catches_planted_twins(ray_session):
+    """Every planted ~loop twin (J >= 0.97 vs its base) must be caught, and
+    every reported pair must be a (base, twin) pair — background template
+    overlap tops out at J = 0.43 on corpus v1, far under the 0.6 gate."""
+    import __ray_entry__ as E
+
+    got = E._q_transcript_near_dup(SF_DIR)
+    pairs = set(zip(got["conv_a"], got["conv_b"]))
+    base = pd.read_parquet(f"{E._oracle_corpus()}/transcripts.parquet")
+    convs = sorted(base["conv_id"].unique())
+    for cid in convs[7::25]:
+        assert (cid, cid + "~loop") in pairs
+    for a, b in pairs:
+        assert b.startswith(a + "~") and b[len(a) + 1:] in ("fork", "loop")
+
+
 # ---- events_dedup_window ------------------------------------------------------
 
 def test_events_dedup_window_planted(ray_session, tmp_path):
