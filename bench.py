@@ -151,6 +151,9 @@ def run_queries() -> dict[str, float]:
         "doc_prep_pipeline", "doc_dsir_weights", "embedding_semdedup",
         # round-5 session-2 wave (selection / moments / fingerprint)
         "orders_percentiles_2pass", "lineitem_skew_kurt", "doc_table_checksum",
+        # round-5 session-6 wave (the one entry that scales with SF;
+        # the transcript audits run on the fixed 432-conv corpus)
+        "events_dedup_window",
     ]
     out: dict[str, float] = {}
     for name in chosen:
