@@ -1029,7 +1029,8 @@ def _q_transcript_prefix_forks(sf_dir: str):
 
 _Q_TRANSCRIPT_PREFIX_FORKS_SQL = f"""
 WITH firstk AS (
-  SELECT conv_id, role || chr(31) || coalesce(text, chr(29)) AS part,
+  SELECT conv_id,
+         coalesce(role, '') || chr(31) || coalesce(text, chr(29)) AS part,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
   FROM '{_AUDIT_CORPUS}/transcripts.parquet'),
 p AS (SELECT conv_id, string_agg(part, chr(30) ORDER BY rn) AS pre
@@ -1217,12 +1218,15 @@ def _q_transcript_curation_gate(sf_dir: str):
 
 
 _Q_TRANSCRIPT_CURATION_GATE_SQL = f"""
-WITH v AS (
+WITH t AS (
+  SELECT conv_id, turn_idx, coalesce(role, '') AS role
+  FROM '{_ORACLE_CORPUS}/transcripts.parquet'),
+v AS (
   SELECT conv_id, turn_idx, role,
          coalesce(role = lag(role) OVER (PARTITION BY conv_id
                                          ORDER BY turn_idx)
                   AND role <> 'tool', FALSE) AS viol
-  FROM '{_ORACLE_CORPUS}/transcripts.parquet'),
+  FROM t),
 g AS (
   SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
          CAST(count(*) FILTER (WHERE viol) AS BIGINT) AS n_role_repeats,
@@ -2064,6 +2068,9 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-# Guarantee the flagship oracle corpus exists no matter which of (query,
-# oracle SQL) the driver evaluates first.
+# Guarantee the flagship oracle corpus AND the derived audit corpus exist no
+# matter which of (query, oracle SQL) the driver evaluates first — the
+# fork/loop/near-dup oracle SQL reads the audit parquet directly, so a
+# fresh /tmp must not depend on the Ray query running first (review r5s6).
 _oracle_corpus()
+_audit_corpus()

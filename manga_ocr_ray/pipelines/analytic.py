@@ -2614,7 +2614,10 @@ def q_events_dedup_window(sf_dir: str,
     def debounce(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
                           kind="mergesort")
-        ts = g["ts"].astype("int64").to_numpy()
+        # explicit µs normalization: a ns-unit pandas block would silently
+        # inflate every gap 1000× against the µs threshold (same guard as
+        # _trailing_hour_shard)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         new_key = (g["user_id"].ne(g["user_id"].shift())
                    | g["event_type"].ne(g["event_type"].shift())).to_numpy()
         d = np.zeros(len(g), dtype=np.int64)

@@ -25,7 +25,8 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..functions.h2z import DAKUTEN_PAIRS, H2Z_FROM, H2Z_TO
 from ..functions.html import strip_html_array, strip_html_sql
 from ..functions.normalize import WHITESPACE_CODEPOINTS, normalize_batch
-from ..functions.textstats import SHINGLE_TOKEN_PATTERN, TOKEN_PATTERN
+from ..functions.textstats import (SHINGLE_TOKEN_PATTERN, TOKEN_PATTERN,
+                                   _STOPWORD_PATTERN)
 from ..functions.pdf import flatten_pdf_array, flatten_pdf_sql
 from ..functions.textstats import fingerprint_map_batch, quality_batch
 from ..stages.dedup import exact_dedup_groups
@@ -132,8 +133,8 @@ SELECT doc_id,
        length(text) AS n_chars,
        len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
        len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-       len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b')) AS n_stopwords,
-       len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b'))
+       len(regexp_extract_all(text, '{_STOPWORD_PATTERN}')) AS n_stopwords,
+       len(regexp_extract_all(text, '{_STOPWORD_PATTERN}'))
          * 1.0 / greatest(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 1) AS stopword_ratio,
        len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1) AS punct_ratio
 FROM documents
@@ -160,7 +161,7 @@ def q_doc_gopher_rules(sf_dir: str) -> rd.Dataset:
                            pa.int64())
 
         words, alpha = n(TOKEN_PATTERN), n("[A-Za-z]")
-        stop = n(r"(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b")
+        stop = n(_STOPWORD_PATTERN)
         sym = n(r"#|\.\.\.|…")
         r_words = pc.and_(pc.greater_equal(words, 50),
                           pc.less_equal(words, 100_000))
@@ -190,7 +191,7 @@ WITH s AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_words,
          len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-         len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b')) AS n_stop,
+         len(regexp_extract_all(text, '{_STOPWORD_PATTERN}')) AS n_stop,
          len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
   FROM documents)
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
@@ -1273,7 +1274,7 @@ def q_doc_quality_gate(sf_dir: str, drop_frac: float = 0.10) -> rd.Dataset:
 Q_DOC_QUALITY_GATE_SQL = rf"""
 WITH s AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '(?i)\b(?:the|a|an|and|of|to|in|is|on|for)\b'))
+         len(regexp_extract_all(text, '{_STOPWORD_PATTERN}'))
            * 1.0 / greatest(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 1)
            AS stopword_ratio
   FROM documents),

@@ -146,6 +146,22 @@ def test_curation_gate_planted(ray_session, monkeypatch, tmp_path):
     assert not got.loc["D", "r_len"] and got.loc["D", "r_alternation"]
 
 
+def test_curation_gate_null_roles_fill_to_empty(ray_session, monkeypatch,
+                                                tmp_path):
+    """NULL roles fill to '' on BOTH plans (review r5s6): two adjacent NULL
+    roles ARE an alternation violation ('' == '' and '' != 'tool'), and a
+    NULL-role final turn is not assistant-final."""
+    import __ray_entry__ as E
+
+    rows = [("N", 0, None, "a"), ("N", 1, None, "b"),
+            ("N", 2, "assistant", "c"), ("N", 3, None, "d")]
+    corpus = _write_transcripts(tmp_path / "nullrole", rows)
+    monkeypatch.setattr(E, "_oracle_corpus", lambda: corpus)
+    got = E._q_transcript_curation_gate(SF_DIR).to_pandas().iloc[0]
+    assert got["n_role_repeats"] == 1
+    assert not got["r_ends_assistant"] and not got["keep"]
+
+
 def test_curation_gate_full_corpus_matches_pandas(ray_session):
     import __ray_entry__ as E
 
