@@ -247,6 +247,155 @@ def test_events_dedup_window_matches_pandas(ray_session):
     assert sorted(got["event_id"]) == sorted(want["event_id"])
 
 
+# ---- seeded randomized replicas (ties / nulls / repeats / natural forks) -----
+
+def _random_transcripts(rng, n_convs=30, max_turns=8, null_frac=0.1):
+    """Small-alphabet random corpus: forces repeated texts, fork-prefix
+    collisions, NULL text/role, and single-turn conversations."""
+    rows = []
+    texts = ["alpha", "beta", "gamma", ""]
+    roles = ["user", "assistant", "tool", None]
+    for c in range(n_convs):
+        for i in range(int(rng.integers(1, max_turns + 1))):
+            t = None if rng.random() < null_frac \
+                else texts[int(rng.integers(len(texts)))]
+            rows.append((f"c{c:03d}", i, roles[int(rng.integers(len(roles)))], t))
+    return rows
+
+
+def _rows_to_corpus(path, rows):
+    t = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": [None] * len(rows),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+    })
+    path.mkdir()
+    pq.write_table(t, path / "transcripts.parquet")
+    return str(path)
+
+
+def test_loop_detect_randomized_matches_pandas(ray_session, monkeypatch,
+                                               tmp_path):
+    import __ray_entry__ as E
+
+    for seed in range(3):
+        rows = _random_transcripts(np.random.default_rng(seed))
+        corpus = _rows_to_corpus(tmp_path / f"ld{seed}", rows)
+        monkeypatch.setattr(E, "_audit_corpus", lambda c=corpus: c)
+        got = (E._q_transcript_loop_detect(SF_DIR).to_pandas()
+               .sort_values("conv_id").reset_index(drop=True))
+        tr = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+        tr = tr.sort_values(["conv_id", "turn_idx"])
+        rep = (tr["text"].notna() & tr["text"].eq(tr["text"].shift())
+               & tr["conv_id"].eq(tr["conv_id"].shift()))
+        want = (tr.assign(rep=rep)
+                .groupby("conv_id")
+                .apply(lambda g: pd.Series(
+                    {"n": int(g["rep"].sum()),
+                     "f": g.loc[g["rep"], "turn_idx"].min()}),
+                    include_groups=False)
+                .sort_index())
+        assert got["n_repeat_turns"].tolist() == want["n"].tolist()
+        gf = got["first_repeat_turn"].astype("float64")
+        assert ((gf.to_numpy() == want["f"].to_numpy())
+                | (gf.isna().to_numpy() & want["f"].isna().to_numpy())).all()
+
+
+def test_prefix_forks_randomized_matches_pandas(ray_session, monkeypatch,
+                                                tmp_path):
+    import __ray_entry__ as E
+
+    any_forks = False
+    for seed in range(3):
+        # tiny (role, text) alphabet + short convs so prefix collisions
+        # occur naturally across 60 conversations
+        rng = np.random.default_rng(100 + seed)
+        rows = []
+        for c in range(60):
+            for i in range(int(rng.integers(1, 4))):
+                t = None if rng.random() < 0.1 else ["x", "y"][int(rng.integers(2))]
+                rows.append((f"c{c:03d}", i,
+                             ["user", "assistant"][int(rng.integers(2))], t))
+        corpus = _rows_to_corpus(tmp_path / f"pf{seed}", rows)
+        monkeypatch.setattr(E, "_audit_corpus", lambda c=corpus: c)
+        got = E._q_transcript_prefix_forks(SF_DIR).to_pandas()
+        tr = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+        tr = tr.sort_values(["conv_id", "turn_idx"])
+        tr["part"] = (tr["role"].fillna("") + "\x1f"
+                      + tr["text"].fillna("\x1d"))
+        firstk = tr.groupby("conv_id").head(3)
+        pre = firstk.groupby("conv_id")["part"].agg("\x1e".join)
+        grp = pre.reset_index().groupby("part")["conv_id"]
+        want = pd.DataFrame({"fork_rep": grp.min(), "n_convs": grp.size()})
+        want = (want[want["n_convs"] >= 2]
+                .sort_values("fork_rep").reset_index(drop=True))
+        if want.empty:
+            assert len(got) == 0
+            continue
+        any_forks = True
+        got = got.sort_values("fork_rep").reset_index(drop=True)
+        assert got["fork_rep"].tolist() == want["fork_rep"].tolist()
+        assert got["n_convs"].tolist() == want["n_convs"].tolist()
+    assert any_forks  # at least one seed must actually exercise grouping
+
+
+def test_curation_gate_randomized_matches_pandas(ray_session, monkeypatch,
+                                                 tmp_path):
+    import __ray_entry__ as E
+
+    for seed in range(3):
+        rows = _random_transcripts(np.random.default_rng(200 + seed),
+                                   max_turns=6)
+        corpus = _rows_to_corpus(tmp_path / f"cg{seed}", rows)
+        monkeypatch.setattr(E, "_oracle_corpus", lambda c=corpus: c)
+        got = (E._q_transcript_curation_gate(SF_DIR).to_pandas()
+               .sort_values("conv_id").reset_index(drop=True))
+        tr = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+        tr = tr.sort_values(["conv_id", "turn_idx"])
+        r = tr["role"].fillna("")
+        viol = (r.eq(r.shift()) & tr["conv_id"].eq(tr["conv_id"].shift())
+                & r.ne("tool"))
+        want = (tr.assign(r=r, viol=viol).groupby("conv_id")
+                .agg(n_turns=("r", "size"), n_rep=("viol", "sum"),
+                     last_r=("r", "last"),
+                     has_u=("r", lambda s: (s == "user").any()),
+                     has_a=("r", lambda s: (s == "assistant").any())))
+        assert got["n_turns"].tolist() == want["n_turns"].tolist()
+        assert got["n_role_repeats"].tolist() == want["n_rep"].tolist()
+        keep = (want["n_turns"].between(4, 100) & want["has_u"]
+                & want["has_a"] & want["n_rep"].eq(0)
+                & want["last_r"].eq("assistant"))
+        assert got["keep"].tolist() == keep.tolist()
+
+
+def test_debounce_randomized_matches_pandas(ray_session, tmp_path):
+    from manga_ocr_ray.pipelines.analytic import q_events_dedup_window
+
+    for seed in range(3):
+        rng = np.random.default_rng(300 + seed)
+        n = 200
+        ts_us = rng.integers(0, 120_000_000, n)  # 2-minute span: ties + gaps
+        t = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(1, 6, n).astype(np.int64)),
+            "event_type": [["a", "b"][i] for i in rng.integers(0, 2, n)],
+        })
+        d = tmp_path / f"ev{seed}"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = q_events_dedup_window(str(d), window_s=10).to_pandas()
+        ev = t.to_pandas().sort_values(["user_id", "event_type", "ts",
+                                        "event_id"])
+        diff = ev.groupby(["user_id", "event_type"])["ts"].diff()
+        want = ev[diff.isna() | (diff.dt.total_seconds() > 10)]
+        assert sorted(got["event_id"]) == sorted(want["event_id"])
+        assert 0 < len(got) < n  # threshold actually discriminates
+
+
 # ---- doc_gopher_rules ----------------------------------------------------------
 
 def test_gopher_rules_planted(ray_session, tmp_path):
